@@ -1,0 +1,46 @@
+"""Exact-duplicate pre-pass: byte-identical content collapses first.
+
+Distributed reformulation of the BK-tree's distance-0 node merging
+(ref: src/main/java/index/BKTreeIndex.java:27 — equal hashes share one
+node). Grouping by content sha256 before LSH means identical content
+costs one LSH representative instead of an O(group^2) pair blowup —
+essential at 10^12-file scale where exact copies dominate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def exact_groups(signatures: DataFrame) -> DataFrame:
+    """(sha256, rep_id, doc_id): every doc mapped to its exact-dup
+    representative = min doc_id of the sha256 group (deterministic)."""
+    w = Window.partitionBy("sha256")
+    return signatures.select(
+        "sha256", "doc_id", F.min("doc_id").over(w).alias("rep_id")
+    )
+
+
+def exact_dup_edges(signatures: DataFrame) -> DataFrame:
+    """Star edges rep_id -> doc_id for every non-representative member.
+
+    Feeding stars (not cliques) into connected components keeps edge
+    count linear in group size while producing identical components.
+    """
+    g = exact_groups(signatures)
+    return (
+        g.filter(F.col("doc_id") != F.col("rep_id"))
+        .select(F.col("rep_id").alias("src"), F.col("doc_id").alias("dst"))
+    )
+
+
+def representatives(signatures: DataFrame) -> DataFrame:
+    """One row per distinct content: the LSH stage runs on these only."""
+    w = Window.partitionBy("sha256").orderBy("doc_id")
+    return (
+        signatures.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -1,0 +1,90 @@
+"""LSH banding + candidate-pair generation.
+
+Distributed replacement for the BK-tree radius query
+(ref: src/main/java/index/BKTreeIndex.java:34-50 `withinHamming` — a
+pointer-chasing DFS with triangle-inequality pruning, which has no
+distributed analog). Banding turns the O(n^2) similarity self-join into
+an equi-join: docs colliding in >=1 of b bands of r MinHash values are
+candidates; P(candidate | jaccard=j) = 1 - (1 - j^r)^b.
+
+Scale notes (north_rule: skew handled explicitly):
+- band_hash is computed JVM-side (`xxhash64` over the band slice +
+  band_id) — no Python in this stage at all;
+- hot bands (empty files, license boilerplate) are capped at
+  ``cfg.max_band_size`` members via a deterministic rank — a giant band
+  would otherwise emit O(size^2) pairs on a single shuffle key. Exact
+  duplicates never reach here (collapsed by the sha256 pre-pass), so a
+  capped band only loses candidates between *near*-identical
+  boilerplate docs, and the drop is logged to the metrics table;
+- the pair self-join is an equi-join on (band_id, band_hash) which AQE
+  can split further if residual skew remains.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from imageduplicatefinder_spark.config import DedupConfig
+
+
+def band_table(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """signatures -> (doc_id, band_id, band_hash), one row per band.
+
+    Docs below ``cfg.min_tokens`` tokens are excluded (no meaningful
+    shingles — the degenerate/solid-color analog,
+    ref: src/test/java/hash/PHashDctTest.java:49-99).
+    """
+    b, r = cfg.lsh_bands, cfg.lsh_rows
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_id"),
+                F.xxhash64(F.slice("minhash", i * r + 1, r), F.lit(i)).alias(
+                    "band_hash"
+                ),
+            )
+            for i in range(b)
+        ]
+    )
+    return (
+        signatures.filter(F.col("n_tokens") >= cfg.min_tokens)
+        .select("doc_id", F.explode(bands).alias("band"))
+        .select("doc_id", "band.band_id", "band.band_hash")
+    )
+
+
+def capped_bands(bands: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataFrame]:
+    """Apply the hot-band cap. Returns (kept_bands, band_stats).
+
+    band_stats: (band_id, band_hash, band_size, capped:boolean) — fed to
+    the metrics table so dropped candidates are visible, not silent.
+    """
+    w = Window.partitionBy("band_id", "band_hash").orderBy("doc_id")
+    sized = bands.withColumn("_rank", F.row_number().over(w))
+    kept = sized.filter(F.col("_rank") <= cfg.max_band_size).drop("_rank")
+    stats = (
+        bands.groupBy("band_id", "band_hash")
+        .agg(F.count("*").alias("band_size"))
+        .withColumn("capped", F.col("band_size") > cfg.max_band_size)
+    )
+    return kept, stats
+
+
+def candidate_pairs(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Self-join on (band_id, band_hash) -> distinct (src, dst), src < dst.
+
+    The src < dst predicate both dedups the symmetric pair and removes
+    self-pairs — the Spark-native form of the reference's "don't return
+    the probe itself" semantics.
+    """
+    kept, _ = capped_bands(bands, cfg)
+    left = kept.select("band_id", "band_hash", F.col("doc_id").alias("src"))
+    right = kept.select("band_id", "band_hash", F.col("doc_id").alias("dst"))
+    return (
+        left.join(right, on=["band_id", "band_hash"])
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
