@@ -1,0 +1,127 @@
+"""Analytic golden tests for the fingerprint kernels — derived, not
+recorded, mirroring the reference's style (ref: src/test/java/hash/
+PHashDctTest.java:49-99 black->0L, AHashTest.java:29-100,
+HammingTest.java:12-50)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from imageduplicatefinder_spark.functions.fingerprints import (
+    _mix64,
+    _perm_params,
+    minhash_numpy,
+    shingle_hashes_numpy,
+    simhash_numpy,
+    tokenize_series,
+)
+
+
+def test_tokenize_word_lowercases_and_splits():
+    out = tokenize_series(pd.Series(["Foo bar_baz  42\nqux", None, ""]), "word")
+    assert out[0] == ["foo", "bar_baz", "42", "qux"]
+    assert out[1] == []
+    assert out[2] == []
+
+
+def test_tokenize_char_canonicalizes_whitespace():
+    out = tokenize_series(pd.Series(["A  b\t\nC"]), "char")
+    assert out[0] == list("a b c")
+
+
+def test_shingles_short_doc_collapses_to_whole():
+    # docs shorter than k produce exactly one shingle (degenerate family)
+    one = shingle_hashes_numpy(["a", "b"], k=3)
+    assert one.shape == (1,)
+    assert shingle_hashes_numpy([], k=3).shape == (0,)
+
+
+def test_shingles_count_and_distinctness():
+    toks = list("abcdefgh")
+    sh = shingle_hashes_numpy(toks, k=3)  # 6 shingles, all distinct
+    assert sh.shape == (6,)
+    # repeated shingles dedup: 'ababab' -> {aba, bab}
+    sh2 = shingle_hashes_numpy(list("ababab"), k=3)
+    assert sh2.shape == (2,)
+
+
+def test_shingle_hashes_deterministic_across_calls():
+    a = shingle_hashes_numpy(list("hello world"), 3)
+    b = shingle_hashes_numpy(list("hello world"), 3)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_mix64_is_bijective_on_sample():
+    x = np.arange(10000, dtype=np.uint64)
+    assert len(np.unique(_mix64(x))) == 10000
+
+
+def test_minhash_identity_and_empty():
+    keys = _perm_params(128, 42)
+    s = shingle_hashes_numpy(list("some text here"), 3)
+    np.testing.assert_array_equal(minhash_numpy(s, keys), minhash_numpy(s, keys))
+    empty = minhash_numpy(np.empty(0, dtype=np.uint64), keys)
+    assert (empty == np.iinfo(np.int64).max).all()
+
+
+def test_minhash_equality_fraction_estimates_jaccard():
+    """Signature slot agreement must track true Jaccard (the property the
+    linear-congruential family violated; caught by a live bug)."""
+    rng = np.random.default_rng(0)
+    keys = _perm_params(512, 42)
+    a = rng.integers(0, 1 << 63, size=300, dtype=np.uint64)
+    extra = rng.integers(0, 1 << 63, size=200, dtype=np.uint64)
+    b = np.unique(np.concatenate([a[:200], extra]))
+    a = np.unique(a)
+    inter = len(np.intersect1d(a, b))
+    true_j = inter / (len(a) + len(b) - inter)
+    est = (minhash_numpy(a, keys) == minhash_numpy(b, keys)).mean()
+    assert abs(est - true_j) < 0.08, (est, true_j)
+
+
+def test_minhash_disjoint_sets_rarely_agree():
+    keys = _perm_params(128, 42)
+    a = np.arange(1, 201, dtype=np.uint64)
+    b = np.arange(10_001, 10_201, dtype=np.uint64)
+    est = (minhash_numpy(a, keys) == minhash_numpy(b, keys)).mean()
+    assert est < 0.05
+
+
+def test_simhash_empty_is_zero():
+    # analog of the reference's black-image pHash == 0L golden
+    assert simhash_numpy(np.empty(0, dtype=np.uint64)) == np.int64(0)
+
+
+def test_simhash_single_token_equals_its_hash():
+    h = pd.util.hash_array(np.asarray(["tok"], dtype=object))
+    # one token: every set bit is a strict majority -> simhash == token hash
+    assert np.uint64(simhash_numpy(h).astype(np.uint64)) == h[0]
+
+
+def test_simhash_identical_multisets_equal():
+    h1 = pd.util.hash_array(np.asarray(["a", "b", "c", "a"], dtype=object))
+    h2 = pd.util.hash_array(np.asarray(["a", "b", "c", "a"], dtype=object))
+    assert simhash_numpy(h1) == simhash_numpy(h2)
+
+
+def test_simhash_hamming_properties():
+    """Hamming metric properties (ref: src/test/java/hash/HammingTest.java:12-50):
+    identity 0, symmetry, popcount vs 0, 64-bit extremes."""
+    def ham(x, y):
+        return bin((int(x) & 0xFFFFFFFFFFFFFFFF) ^ (int(y) & 0xFFFFFFFFFFFFFFFF)).count("1")
+
+    assert ham(0, 0) == 0
+    assert ham(-1, 0) == 64
+    assert ham(0b1011, 0) == 3
+    assert ham(12345, 67890) == ham(67890, 12345)
+
+
+def test_hamming_distance_col_jvm(spark):
+    from pyspark.sql import functions as F
+    from imageduplicatefinder_spark.functions.fingerprints import hamming_distance_col
+
+    df = spark.createDataFrame(
+        [(0, 0), (-1, 0), (0b1011, 0), (1 << 62, 0)], "a long, b long"
+    )
+    got = [r[0] for r in df.select(hamming_distance_col(F.col("a"), F.col("b"))).collect()]
+    assert got == [0, 64, 3, 1]

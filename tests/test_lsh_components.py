@@ -1,0 +1,113 @@
+"""Operator-contract tests: LSH band math and connected components on
+hand-built inputs (ref style: src/test/java/index/BKTreeIndexTest.java:19-107,
+cluster/ClustererTest.java:27-153)."""
+
+from pyspark.sql import functions as F
+
+from imageduplicatefinder_spark.config import DedupConfig
+from imageduplicatefinder_spark.operators.components import connected_components
+from imageduplicatefinder_spark.operators.lsh import (
+    band_table,
+    candidate_pairs,
+    capped_bands,
+)
+
+CFG = DedupConfig()
+
+
+def _sig_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, n_tokens int, minhash array<long>"
+    )
+
+
+def test_identical_signatures_collide_in_all_bands(spark):
+    sig = [i for i in range(CFG.num_perm)]
+    df = _sig_df(spark, [(1, 10, sig), (2, 10, sig)])
+    bands = band_table(df, CFG)
+    assert bands.count() == 2 * CFG.lsh_bands
+    collisions = (
+        bands.groupBy("band_id", "band_hash").count().filter("count = 2").count()
+    )
+    assert collisions == CFG.lsh_bands  # all bands collide
+
+
+def test_disjoint_signatures_share_no_band(spark):
+    a = [i for i in range(CFG.num_perm)]
+    b = [i + 1_000_000 for i in range(CFG.num_perm)]
+    df = _sig_df(spark, [(1, 10, a), (2, 10, b)])
+    assert candidate_pairs(band_table(df, CFG), CFG).count() == 0
+
+
+def test_min_tokens_excludes_empty_docs(spark):
+    sig = [1] * CFG.num_perm
+    df = _sig_df(spark, [(1, 0, sig), (2, 5, sig)])
+    bands = band_table(df, CFG)
+    assert bands.select("doc_id").distinct().collect() == [
+        spark.createDataFrame([(2,)], "doc_id long").collect()[0]
+    ]
+
+
+def test_band_cap_limits_group_and_reports(spark):
+    cfg = DedupConfig(max_band_size=3)
+    sig = [7] * cfg.num_perm
+    df = _sig_df(spark, [(i, 10, sig) for i in range(10)])
+    bands = band_table(df, cfg)
+    kept, stats = capped_bands(bands, cfg)
+    per_band = kept.groupBy("band_id", "band_hash").count().collect()
+    assert all(r["count"] <= 3 for r in per_band)
+    assert stats.filter("capped").count() == cfg.lsh_bands
+    # capped pairs still bounded: 3 choose 2 per band
+    assert candidate_pairs(bands, cfg).count() == 3
+
+
+def test_candidate_pairs_are_deduped_and_ordered(spark):
+    sig = [3] * CFG.num_perm
+    df = _sig_df(spark, [(5, 10, sig), (2, 10, sig), (9, 10, sig)])
+    pairs = candidate_pairs(band_table(df, CFG), CFG).collect()
+    got = {(r.src, r.dst) for r in pairs}
+    assert got == {(2, 5), (2, 9), (5, 9)}  # src < dst, no dups across 64 bands
+
+
+# --- connected components ---------------------------------------------------
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def _comps(spark, pairs):
+    rows = connected_components(_edges(spark, pairs)).collect()
+    comp = {}
+    for r in rows:
+        comp.setdefault(r.cluster_id, set()).add(r.doc_id)
+    return sorted(sorted(v) for v in comp.values())
+
+
+def test_cc_empty(spark):
+    assert _comps(spark, []) == [] or _comps(spark, []) == []
+
+
+def test_cc_transitive_chain_is_one_cluster(spark):
+    # ref: ClustererTest transitive chain -> one cluster
+    assert _comps(spark, [(1, 2), (2, 3), (3, 4)]) == [[1, 2, 3, 4]]
+
+
+def test_cc_disjoint_groups(spark):
+    got = _comps(spark, [(1, 2), (3, 4), (4, 5)])
+    assert got == [[1, 2], [3, 4, 5]]
+
+
+def test_cc_cluster_id_is_min_member(spark):
+    rows = connected_components(_edges(spark, [(7, 3), (3, 9)])).collect()
+    assert {r.cluster_id for r in rows} == {3}
+
+
+def test_cc_cycle(spark):
+    assert _comps(spark, [(1, 2), (2, 3), (3, 1)]) == [[1, 2, 3]]
+
+
+def test_cc_long_chain_converges(spark):
+    n = 33
+    pairs = [(i, i + 1) for i in range(n)]
+    assert _comps(spark, pairs) == [list(range(n + 1))]

@@ -1,0 +1,118 @@
+"""End-to-end pipeline tests on the planted synthetic corpus
+(ref style: src/test/java/app/CommandsTest.java golden E2E tests, with
+the fixture corpus analog of FIXTURES.md §3)."""
+
+import hashlib
+import tempfile
+from itertools import combinations
+
+import pytest
+from pyspark.sql import functions as F
+
+from imageduplicatefinder_spark.config import DedupConfig
+from imageduplicatefinder_spark.plans.pipeline import DedupPipeline
+from imageduplicatefinder_spark.sources.generator import (
+    GeneratedCorpus,
+    corpus_to_dataframe,
+    generate_corpus,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_corpus(n_families=8, n_background=60, seed=42)
+
+
+@pytest.fixture(scope="module")
+def result(spark, corpus):
+    df = corpus_to_dataframe(spark, corpus)
+    pipe = DedupPipeline(spark, DedupConfig(), checkpoint_dir=tempfile.mkdtemp())
+    return pipe.run(df)
+
+
+def _found_pairs(result):
+    sig = result.signatures.select("doc_id", "repo", "path", "commit").collect()
+    key = {r.doc_id: GeneratedCorpus.key(r.repo, r.path, r.commit) for r in sig}
+    byc = {}
+    for r in result.components.collect():
+        byc.setdefault(r.cluster_id, []).append(key[r.doc_id])
+    found = set()
+    for members in byc.values():
+        for a, b in combinations(sorted(members), 2):
+            found.add((a, b))
+    return found
+
+
+def test_sha256_per_row_invariant(result, corpus):
+    """Per-row content sha256 equality vs the generator oracle
+    (BASELINE.json input_hint)."""
+    oracle = {
+        GeneratedCorpus.key(r, p, c): hashlib.sha256(content.encode()).hexdigest()
+        for (r, p, c, _, content) in corpus.rows
+    }
+    got = result.signatures.select("repo", "path", "commit", "sha256").collect()
+    assert len(got) == len(oracle)
+    for r in got:
+        assert r.sha256 == oracle[GeneratedCorpus.key(r.repo, r.path, r.commit)]
+
+
+def test_dup_pair_recall_and_precision(result, corpus):
+    """north_rule: dup-pair recall >= 0.99 at the pinned config."""
+    found = _found_pairs(result)
+    tp = corpus.true_pairs
+    recall = len(found & tp) / len(tp)
+    precision = len(found & tp) / len(found)
+    assert recall >= 0.99, f"recall {recall}"
+    assert precision >= 0.99, f"precision {precision}"
+
+
+def test_containment_pairs_found(result, corpus):
+    """Watermark-analog: base embedded in host must be caught
+    (suffix/shingle containment path)."""
+    found = _found_pairs(result)
+    base_host = {p for p in corpus.containment_pairs if "/src/base_" in p[0] or "/src/base_" in p[1]}
+    got = len(found & base_host) / len(base_host)
+    assert got == 1.0
+
+
+def test_decoys_not_clustered(result):
+    decoy_rows = (
+        result.clusters.filter(F.col("path").contains("decoy")).count()
+    )
+    assert decoy_rows == 0
+
+
+def test_exact_dups_share_cluster(result):
+    # base_N and copy_N have identical content -> same cluster always
+    pairs = (
+        result.clusters.filter(F.col("path").rlike("src/(base|copy)_"))
+        .groupBy("repo", "cluster_id")
+        .count()
+        .filter("count >= 2")
+        .count()
+    )
+    assert pairs == 8  # one per family
+
+
+def test_one_keep_per_cluster(result):
+    agg = (
+        result.plan.groupBy("cluster_id")
+        .agg(F.sum(F.when(F.col("action") == "KEEP", 1).otherwise(0)).alias("keeps"))
+        .collect()
+    )
+    assert all(r.keeps == 1 for r in agg)
+
+
+def test_plan_keeper_is_largest(result):
+    mx = result.plan.groupBy("cluster_id").agg(F.max("size").alias("mx"))
+    keeps = result.plan.filter("action='KEEP'").join(mx, on="cluster_id")
+    assert keeps.filter(F.col("size") != F.col("mx")).count() == 0
+
+
+def test_resume_reuses_checkpoints(spark, corpus):
+    df = corpus_to_dataframe(spark, corpus)
+    d = tempfile.mkdtemp()
+    DedupPipeline(spark, DedupConfig(), checkpoint_dir=d).run(df)
+    pipe2 = DedupPipeline(spark, DedupConfig(), checkpoint_dir=d)
+    pipe2.run(df)
+    assert all(m.reused for m in pipe2.ckpt.metrics)

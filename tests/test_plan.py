@@ -1,0 +1,52 @@
+"""Keeper-plan goldens with engineered tiebreaks
+(ref: src/test/java/app/CommandsTest.java:156-193)."""
+
+import datetime
+
+from imageduplicatefinder_spark.operators.plan import clusters_table, keeper_plan
+
+
+def test_keeper_tiebreak_size_then_path(spark):
+    rows = [
+        (100, 1, "r", "b.py", "c1", 50),
+        (100, 2, "r", "a.py", "c2", 90),   # biggest -> KEEP
+        (100, 3, "r", "c.py", "c3", 90),   # same size, later path -> DELETE
+        (200, 4, "r", "x.py", "c4", 10),
+        (200, 5, "r", "y.py", "c5", 10),   # tie -> path asc keeps x.py
+    ]
+    clusters = spark.createDataFrame(
+        rows, "cluster_id long, doc_id long, repo string, path string, "
+              "commit string, size long"
+    )
+    plan = keeper_plan(clusters)
+    keep = {r.cluster_id: r.path for r in plan.filter("action='KEEP'").collect()}
+    assert keep == {100: "a.py", 200: "x.py"}
+    assert plan.filter("action='DELETE'").count() == 3
+
+
+def test_keeper_respects_mtime_older_first(spark):
+    # reference orders mtime ASC after size DESC (Commands.java:212-221)
+    t1 = datetime.datetime(2020, 1, 1)
+    t2 = datetime.datetime(2023, 1, 1)
+    rows = [
+        (1, 10, "r", "new.py", "c", 40, t2),
+        (1, 11, "r", "old.py", "c", 40, t1),
+    ]
+    clusters = spark.createDataFrame(
+        rows, "cluster_id long, doc_id long, repo string, path string, "
+              "commit string, size long, mtime timestamp"
+    )
+    keep = keeper_plan(clusters).filter("action='KEEP'").collect()
+    assert [r.path for r in keep] == ["old.py"]
+
+
+def test_clusters_table_drops_singletons(spark):
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3)], "doc_id long, cluster_id long"
+    )
+    sigs = spark.createDataFrame(
+        [(i, "r", f"p{i}", "c", 10) for i in (1, 2, 3)],
+        "doc_id long, repo string, path string, commit string, size long",
+    )
+    out = clusters_table(comps, sigs)
+    assert {r.doc_id for r in out.collect()} == {1, 2}  # singleton 3 dropped
