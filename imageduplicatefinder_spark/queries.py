@@ -1,0 +1,865 @@
+"""Query catalog: every SQL-expressible operator from SURVEY.md §2 plus
+the training-data-pipeline ops (dedup families, text analysis, ANN),
+each as a (spark_builder, duckdb_oracle_sql) pair over the driver's
+testdata tables. ``__spark_entry__.py`` re-exports this registry.
+
+Cross-engine parity conventions (so the driver's order-insensitive
+value-hash matches):
+- identical output column names, aliased on both sides;
+- money/doubles emitted as BIGINT (cents / milli units via floor or
+  round) — never raw floating aggregates whose engine-side summation
+  order could differ;
+- shingles built with the exact same string construction on both
+  sides (verified: Spark `concat(coalesce(get(w,i-1),''),' ',...)` ==
+  DuckDB `coalesce(w[i],'')||' '||...`, including short-doc padding);
+- timestamps emitted as epoch seconds BIGINT.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from imageduplicatefinder_spark.config import DedupConfig
+from imageduplicatefinder_spark.sources.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is"]
+
+# ---------------------------------------------------------------------------
+# shared Spark expression builders
+# ---------------------------------------------------------------------------
+
+
+def _words(col: str = "text") -> Column:
+    return F.split(F.col(col), " ")
+
+
+def _shingles_expr(w: Column) -> Column:
+    """Distinct word-3-gram shingles; docs shorter than 3 words collapse
+    to one padded shingle (matches the DuckDB CTE below exactly)."""
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - F.lit(2), F.lit(1))),
+            lambda i: F.concat(
+                F.coalesce(F.get(w, i - 1), F.lit("")),
+                F.lit(" "),
+                F.coalesce(F.get(w, i), F.lit("")),
+                F.lit(" "),
+                F.coalesce(F.get(w, i + 1), F.lit("")),
+            ),
+        )
+    )
+
+
+_SHINGLE_CTE = """
+words AS (
+  SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents
+),
+shingles AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    generate_series(1, greatest(len(w) - 2, 1)),
+    i -> coalesce(w[i], '') || ' ' || coalesce(w[i+1], '') || ' ' || coalesce(w[i+2], '')
+  ))) AS shingle FROM words
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+pair_inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+"""
+
+
+def _shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, inter, n_a, n_b) over distinct word-3-gram shingles.
+
+    The SQL-expressible candidate generator (SURVEY §2.4 J2 analog):
+    equi-join on the shingle itself instead of an LSH band — exact, and
+    fine at oracle scale; the LSH path is the at-scale variant.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(_shingles_expr(_words())).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), on="shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"),
+                                F.col("n").alias("n_a")), on="doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("n").alias("n_b")), on="doc_b")
+    )
+
+
+def _cents(col: Column) -> Column:
+    return F.round(col * 100).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# A. dedup operators over `documents` (SURVEY §2.4/§2.5; exact + n-gram)
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/J1 analog: sha256 groupBy — distance-0 duplicate classes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.sha2(F.col("text"), 256).alias("content_hash"))
+        .agg(F.count("*").alias("n_members"), F.min("doc_id").alias("cluster_id"))
+        .filter(F.col("n_members") >= 2)
+    )
+
+
+SQL_EXACT_DUP_CLUSTERS = """
+SELECT sha256(text) AS content_hash, count(*) AS n_members,
+       min(doc_id) AS cluster_id
+FROM documents GROUP BY 1 HAVING count(*) >= 2
+"""
+
+
+def q_exact_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.sha2(F.col("text"), 256).alias("h")
+    )
+    return (
+        docs.alias("a")
+        .join(docs.alias("b"), on="h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+
+
+SQL_EXACT_DUP_PAIRS = """
+WITH h AS (SELECT doc_id, sha256(text) AS h FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM h a JOIN h b ON a.h = b.h AND a.doc_id < b.doc_id
+"""
+
+
+def q_token_set_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-of-words-set dedup: docs whose distinct token sets are equal
+    (whitespace/reorder-invariant exact class)."""
+    docs = load_table(spark, sf_dir, "documents")
+    set_hash = F.sha2(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(_words()))), 256
+    )
+    return (
+        docs.groupBy(set_hash.alias("set_hash"))
+        .agg(F.count("*").alias("n_members"), F.min("doc_id").alias("cluster_id"))
+        .filter(F.col("n_members") >= 2)
+    )
+
+
+SQL_TOKEN_SET_DUP_GROUPS = """
+SELECT sha256(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+         AS set_hash,
+       count(*) AS n_members, min(doc_id) AS cluster_id
+FROM documents GROUP BY 1 HAVING count(*) >= 2
+"""
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs (J2+J3 analog, SQL-expressible form).
+
+    jaccard_milli = floor(1000 * |A∩B| / |A∪B|) >= 800.
+    """
+    p = _shingle_pairs(spark, sf_dir)
+    union = F.col("n_a") + F.col("n_b") - F.col("inter")
+    return (
+        p.withColumn("union_n", union)
+        .withColumn("jaccard_milli",
+                    F.floor(F.col("inter") * 1000.0 / F.col("union_n")))
+        .filter(F.col("jaccard_milli") >= 800)
+        .select("doc_a", "doc_b", "inter", "union_n", "jaccard_milli")
+    )
+
+
+SQL_NGRAM_JACCARD_PAIRS = f"""
+WITH {_SHINGLE_CTE}
+SELECT doc_a, doc_b, inter,
+       sa.n + sb.n - inter AS union_n,
+       CAST(floor(inter * 1000.0 / (sa.n + sb.n - inter)) AS BIGINT) AS jaccard_milli
+FROM pair_inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE floor(inter * 1000.0 / (sa.n + sb.n - inter)) >= 800
+"""
+
+
+def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment duplicates (watermark analog, FIXTURES.md §3):
+    containment_milli = floor(1000 * |A∩B| / min(|A|,|B|)) >= 900."""
+    p = _shingle_pairs(spark, sf_dir)
+    mn = F.least("n_a", "n_b")
+    return (
+        p.withColumn("min_n", mn)
+        .withColumn("containment_milli",
+                    F.floor(F.col("inter") * 1000.0 / F.col("min_n")))
+        .filter(F.col("containment_milli") >= 900)
+        .select("doc_a", "doc_b", "inter", "min_n", "containment_milli")
+    )
+
+
+SQL_NGRAM_CONTAINMENT_PAIRS = f"""
+WITH {_SHINGLE_CTE}
+SELECT doc_a, doc_b, inter,
+       least(sa.n, sb.n) AS min_n,
+       CAST(floor(inter * 1000.0 / least(sa.n, sb.n)) AS BIGINT) AS containment_milli
+FROM pair_inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE floor(inter * 1000.0 / least(sa.n, sb.n)) >= 900
+"""
+
+
+def q_dedup_keeper_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 keeper window over token-set dup groups: biggest doc KEEPs
+    (ref tiebreak order, src/main/java/app/Commands.java:212-233)."""
+    docs = load_table(spark, sf_dir, "documents")
+    set_hash = F.sha2(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(_words()))), 256
+    ).alias("set_hash")
+    d = docs.select("doc_id", "n_chars", set_hash)
+    w = Window.partitionBy("set_hash")
+    d = d.withColumn("_n", F.count("*").over(w)).filter(F.col("_n") >= 2)
+    rn = F.row_number().over(
+        Window.partitionBy("set_hash").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    )
+    return d.select(
+        "set_hash",
+        "doc_id",
+        "n_chars",
+        F.when(rn == 1, F.lit("KEEP")).otherwise(F.lit("DELETE")).alias("action"),
+    )
+
+
+SQL_DEDUP_KEEPER_PLAN = """
+WITH g AS (
+  SELECT doc_id, n_chars,
+         sha256(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' '))
+           AS set_hash
+  FROM documents
+), sized AS (
+  SELECT *, count(*) OVER (PARTITION BY set_hash) AS _n,
+         row_number() OVER (PARTITION BY set_hash
+                            ORDER BY n_chars DESC, doc_id) AS _rn
+  FROM g
+)
+SELECT set_hash, doc_id, n_chars,
+       CASE WHEN _rn = 1 THEN 'KEEP' ELSE 'DELETE' END AS action
+FROM sized WHERE _n >= 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# B. text analysis over `documents`
+# ---------------------------------------------------------------------------
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = _words()
+    return docs.select(
+        "doc_id",
+        F.size(w).alias("n_tokens"),
+        F.size(F.array_distinct(w)).alias("n_distinct_tokens"),
+        F.length("text").alias("total_chars"),
+    )
+
+
+SQL_TOKEN_STATS = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+       length(text) AS total_chars
+FROM documents
+"""
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality heuristics: stopword hits, type-token ratio, length gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = _words()
+    stop = F.array(*[F.lit(s) for s in _STOPWORDS])
+    hits = F.size(F.filter(w, lambda x: F.array_contains(stop, x)))
+    ttr = F.floor(F.size(F.array_distinct(w)) * 1000.0 / F.size(w))
+    return docs.select(
+        "doc_id",
+        hits.alias("stopword_hits"),
+        ttr.alias("type_token_milli"),
+        (
+            F.when((F.size(w) >= 20) & (hits >= 1), F.lit("ok")).otherwise(
+                F.lit("low")
+            )
+        ).alias("quality"),
+    )
+
+
+SQL_QUALITY_SCORES = """
+SELECT doc_id,
+       len(list_filter(string_split(text,' '),
+           x -> list_contains(['the','a','of','and','to','in','is'], x)))
+         AS stopword_hits,
+       CAST(floor(len(list_distinct(string_split(text,' '))) * 1000.0
+             / len(string_split(text,' '))) AS BIGINT) AS type_token_milli,
+       CASE WHEN len(string_split(text,' ')) >= 20
+             AND len(list_filter(string_split(text,' '),
+                 x -> list_contains(['the','a','of','and','to','in','is'], x))) >= 1
+            THEN 'ok' ELSE 'low' END AS quality
+FROM documents
+"""
+
+
+def q_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram-free language ID heuristic: English stopword density."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = _words()
+    stop = F.array(*[F.lit(s) for s in _STOPWORDS])
+    hits = F.size(F.filter(w, lambda x: F.array_contains(stop, x)))
+    score = F.floor(hits * 1000.0 / F.size(w))
+    return docs.select(
+        "doc_id",
+        "lang",
+        score.alias("en_score_milli"),
+        F.when(score >= 20, F.lit("en")).otherwise(F.lit("other")).alias("lang_pred"),
+    )
+
+
+SQL_LANG_ID_HEURISTIC = """
+WITH s AS (
+  SELECT doc_id, lang,
+         CAST(floor(len(list_filter(string_split(text,' '),
+             x -> list_contains(['the','a','of','and','to','in','is'], x)))
+           * 1000.0 / len(string_split(text,' '))) AS BIGINT) AS en_score_milli
+  FROM documents
+)
+SELECT doc_id, lang, en_score_milli,
+       CASE WHEN en_score_milli >= 20 THEN 'en' ELSE 'other' END AS lang_pred
+FROM s
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional rolling fingerprint: sum(ascii(ch)*pos) mod 2^31-1
+    (document fingerprinting primitive; parity-verified vs DuckDB)."""
+    docs = load_table(spark, sf_dir, "documents")
+    chars = F.split(F.col("text"), "")
+    weighted = F.zip_with(
+        chars, F.sequence(F.lit(1), F.size(chars)), lambda c, i: F.ascii(c) * i
+    )
+    fp = F.aggregate(
+        weighted,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc + x) % F.lit(2147483647),
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+SQL_DOC_FINGERPRINT = """
+SELECT doc_id,
+       CAST(list_sum(list_transform(generate_series(1, len(string_split(text,''))),
+            i -> ascii(string_split(text,'')[i]) * i)) % 2147483647 AS BIGINT)
+         AS fingerprint
+FROM documents
+"""
+
+
+def q_lang_file_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 extension-filter analog: per-lang counts after a pushed-down
+    predicate (ref: app/Commands.java:74)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.col("lang").isin("en", "de", "es"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+SQL_LANG_FILE_COUNTS = """
+SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
+FROM documents WHERE lang IN ('en','de','es') GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# C. embeddings: similarity search
+# ---------------------------------------------------------------------------
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.floor(norm * 1000).cast("long").alias("norm_milli"),
+    )
+
+
+SQL_EMBEDDING_NORMS = """
+SELECT vec_id, len(embedding) AS dim,
+       CAST(floor(sqrt(list_sum(list_transform(embedding,
+            x -> x::DOUBLE * x::DOUBLE))) * 1000) AS BIGINT) AS norm_milli
+FROM embeddings
+"""
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (k=5) for query vectors vec_id < 10 —
+    the ANN correctness baseline; the LSH-bucketed variant is the scale
+    path (Spark-only query)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
+    pairs = F.broadcast(q).crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
+    cos = _dot(F.col("qe"), F.col("ne")) / (
+        F.sqrt(_dot(F.col("qe"), F.col("qe"))) * F.sqrt(_dot(F.col("ne"), F.col("ne")))
+    )
+    ranked = pairs.withColumn("cos", cos).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= 5).select(
+        "query_id",
+        "rank",
+        "neighbor_id",
+        F.floor(F.col("cos") * 1000).cast("long").alias("cosine_milli"),
+    )
+
+
+SQL_ANN_COSINE_TOPK = """
+WITH pairs AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         list_sum(list_transform(generate_series(1, len(q.embedding)),
+            i -> q.embedding[i]::DOUBLE * n.embedding[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(q.embedding, x -> x::DOUBLE * x::DOUBLE)))
+          * sqrt(list_sum(list_transform(n.embedding, x -> x::DOUBLE * x::DOUBLE))))
+           AS cos
+  FROM embeddings q JOIN embeddings n ON q.vec_id < 10 AND n.vec_id != q.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM pairs
+)
+SELECT query_id, rank, neighbor_id,
+       CAST(floor(cos * 1000) AS BIGINT) AS cosine_milli
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection: all pairs with cosine >= 0.95."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    pairs = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
+    cos = _dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(_dot(F.col("ea"), F.col("ea"))) * F.sqrt(_dot(F.col("eb"), F.col("eb")))
+    )
+    return (
+        pairs.withColumn("cos", cos)
+        .filter(F.col("cos") >= 0.95)
+        .select(
+            "vec_a", "vec_b", F.floor(F.col("cos") * 1000).cast("long").alias("cosine_milli")
+        )
+    )
+
+
+SQL_EMBEDDING_NEAR_DUP_PAIRS = """
+WITH pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_sum(list_transform(generate_series(1, len(a.embedding)),
+            i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+          * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))))
+           AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, CAST(floor(cos * 1000) AS BIGINT) AS cosine_milli
+FROM pairs WHERE cos >= 0.95
+"""
+
+
+# ---------------------------------------------------------------------------
+# D. relational analytics (general operator surface: scan/filter/agg/join/
+#    window/top-k — SURVEY §2.1-2.6 general mappings)
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped aggregation (filter -> groupBy -> multi-agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_cents(F.col("l_quantity"))).alias("sum_qty_cents"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("sum_base_cents"),
+            F.sum(
+                _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("sum_disc_cents"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(round(l_quantity * 100) AS BIGINT))::BIGINT AS sum_qty_cents,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT AS sum_base_cents,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))::BIGINT
+         AS sum_disc_cents,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + agg + deterministic top-10 (TPC-H Q3 shape)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    rev = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .alias("revenue_cents")
+        )
+    )
+    return (
+        rev.join(orders, rev.l_orderkey == orders.o_orderkey)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "revenue_cents",
+            F.unix_timestamp("o_orderdate").alias("orderdate_epoch"),
+        )
+        .orderBy(F.desc("revenue_cents"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_TOP_ORDERS_BY_REVENUE = """
+WITH rev AS (
+  SELECT l_orderkey,
+         sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))::BIGINT
+           AS revenue_cents
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o_orderkey, o_custkey, revenue_cents,
+       epoch(o_orderdate)::BIGINT AS orderdate_epoch
+FROM rev JOIN orders ON l_orderkey = o_orderkey
+ORDER BY revenue_cents DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_region_customer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-dim join chain customer -> nation -> region + rollup."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(_cents(F.col("c_acctbal"))).alias("acctbal_cents"),
+        )
+    )
+
+
+SQL_REGION_CUSTOMER_ROLLUP = """
+SELECT r_name, n_name, count(*) AS n_customers,
+       sum(CAST(round(c_acctbal * 100) AS BIGINT))::BIGINT AS acctbal_cents
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dim broadcast join (lineitem x part) + agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .alias("revenue_cents"),
+        )
+    )
+
+
+SQL_BRAND_REVENUE = """
+SELECT p_brand, count(*) AS n_items,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))::BIGINT
+         AS revenue_cents
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed aggregation over the events stream table."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.sum(_cents(F.col("value"))).alias("value_cents"))
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_epoch, event_type,
+       count(*) AS n,
+       sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS value_cents
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min-gap sessions per user via lag + running sum
+    (the stateful-streaming analog, batch-windowed)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn("new_sess", new_sess)
+    return sess.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), F.sum("new_sess").alias("n_sessions")
+    )
+
+
+SQL_USER_SESSIONS = """
+WITH flagged AS (
+  SELECT user_id,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+                   > 1800
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+)
+SELECT user_id, count(*) AS n_events, sum(new_sess)::BIGINT AS n_sessions
+FROM flagged GROUP BY user_id
+"""
+
+
+def q_top_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed top-3 per key (W1 generalization)."""
+    ev = load_table(spark, sf_dir, "events")
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy(
+            F.desc("value"), F.asc("ts"), F.asc("event_id")
+        )
+    )
+    return (
+        ev.withColumn("rn", rn)
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "rn", "event_id", _cents(F.col("value")).alias("value_cents"))
+    )
+
+
+SQL_TOP_EVENTS_PER_USER = """
+SELECT user_id, rn, event_id,
+       CAST(round(value * 100) AS BIGINT) AS value_cents
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+              ORDER BY value DESC, ts, event_id) AS rn
+  FROM events
+) WHERE rn <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# E. Spark-only operators (no SQL analog -> rows-only driver check)
+# ---------------------------------------------------------------------------
+
+
+def _docs_as_input_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map the driver documents table onto the input_hint shape
+    (repo, path, commit, lang, content)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+        F.sha2(F.col("text"), 256).substr(1, 40).alias("commit"),
+        "lang",
+        F.col("text").alias("content"),
+    )
+
+
+def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs over the documents table (the at-scale
+    candidate generator; exact-shingle equi-join above is its oracle)."""
+    from imageduplicatefinder_spark.operators.lsh import band_table, candidate_pairs
+    from imageduplicatefinder_spark.operators.signatures import compute_signatures
+
+    cfg = DedupConfig()
+    sig = compute_signatures(_docs_as_input_hint(spark, sf_dir), cfg)
+    return candidate_pairs(band_table(sig, cfg), cfg)
+
+
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full pipeline (signatures -> LSH -> verify -> CC -> clusters) on
+    the documents table."""
+    import tempfile
+
+    from imageduplicatefinder_spark.plans.pipeline import DedupPipeline
+
+    pipe = DedupPipeline(spark, DedupConfig(), checkpoint_dir=tempfile.mkdtemp())
+    res = pipe.run(_docs_as_input_hint(spark, sf_dir))
+    return res.clusters.select("cluster_id", "repo", "path", "commit", "size")
+
+
+def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 64-bit sketches + Hamming<=radius pairs (reference-parity
+    predicate, ref: hash/Hamming.java:4-6, BKTreeIndex.java:42-43)."""
+    from imageduplicatefinder_spark.functions.fingerprints import hamming_distance_col
+    from imageduplicatefinder_spark.operators.signatures import compute_signatures
+
+    cfg = DedupConfig()
+    sig = compute_signatures(
+        _docs_as_input_hint(spark, sf_dir), cfg, keep_shingles=False
+    ).select("doc_id", "simhash")
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", hamming_distance_col(F.col("sim_a"), F.col("sim_b")))
+        .filter(F.col("hamming") <= cfg.hamming_radius)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN: random-hyperplane LSH buckets + in-bucket cosine
+    top-k. Approximate — pairs only form within a bucket, so the
+    all-pairs shuffle never happens (at 100 TB the brute-force cross
+    join is infeasible; this is the honest scalable variant)."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = 64
+    n_planes = 8
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((n_planes, dim)).tolist()
+    sig_bits = [
+        F.when(
+            _dot(F.col("embedding"), F.array(*[F.lit(v) for v in p])) >= 0, 1
+        ).otherwise(0)
+        for p in planes
+    ]
+    bucket = sum(
+        [b * F.lit(1 << i) for i, b in enumerate(sig_bits)], start=F.lit(0)
+    )
+    bucketed = emb.withColumn("bucket", bucket)
+    a = bucketed.select("bucket", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = bucketed.select("bucket", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, on="bucket").filter(F.col("vec_a") < F.col("vec_b"))
+    cos = _dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(_dot(F.col("ea"), F.col("ea"))) * F.sqrt(_dot(F.col("eb"), F.col("eb")))
+    )
+    rn = F.row_number().over(Window.partitionBy("vec_a").orderBy(F.desc("cos"), F.asc("vec_b")))
+    return (
+        pairs.withColumn("cos", cos)
+        .withColumn("rank", rn)
+        .filter(F.col("rank") <= 5)
+        .select("vec_a", "rank", F.col("vec_b").alias("neighbor_id"),
+                F.floor(F.col("cos") * 1000).cast("long").alias("cosine_milli"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, QueryFn] = {
+    # dedup (documents)
+    "exact_dup_clusters": q_exact_dup_clusters,
+    "exact_dup_pairs": q_exact_dup_pairs,
+    "token_set_dup_groups": q_token_set_dup_groups,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "ngram_containment_pairs": q_ngram_containment_pairs,
+    "dedup_keeper_plan": q_dedup_keeper_plan,
+    # text analysis
+    "token_stats": q_token_stats,
+    "quality_scores": q_quality_scores,
+    "lang_id_heuristic": q_lang_id_heuristic,
+    "doc_fingerprint": q_doc_fingerprint,
+    "lang_file_counts": q_lang_file_counts,
+    # embeddings / similarity search
+    "embedding_norms": q_embedding_norms,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
+    # relational analytics
+    "pricing_summary": q_pricing_summary,
+    "top_orders_by_revenue": q_top_orders_by_revenue,
+    "region_customer_rollup": q_region_customer_rollup,
+    "brand_revenue": q_brand_revenue,
+    "events_hourly": q_events_hourly,
+    "user_sessions": q_user_sessions,
+    "top_events_per_user": q_top_events_per_user,
+    # Spark-only (rows-only driver check)
+    "minhash_lsh_candidates": q_minhash_lsh_candidates,
+    "near_dup_clusters": q_near_dup_clusters,
+    "simhash_hamming_pairs": q_simhash_hamming_pairs,
+    "ann_lsh_bucketed": q_ann_lsh_bucketed,
+}
+
+ORACLES: dict[str, str] = {
+    "exact_dup_clusters": SQL_EXACT_DUP_CLUSTERS,
+    "exact_dup_pairs": SQL_EXACT_DUP_PAIRS,
+    "token_set_dup_groups": SQL_TOKEN_SET_DUP_GROUPS,
+    "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "ngram_containment_pairs": SQL_NGRAM_CONTAINMENT_PAIRS,
+    "dedup_keeper_plan": SQL_DEDUP_KEEPER_PLAN,
+    "token_stats": SQL_TOKEN_STATS,
+    "quality_scores": SQL_QUALITY_SCORES,
+    "lang_id_heuristic": SQL_LANG_ID_HEURISTIC,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "lang_file_counts": SQL_LANG_FILE_COUNTS,
+    "embedding_norms": SQL_EMBEDDING_NORMS,
+    "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    "embedding_near_dup_pairs": SQL_EMBEDDING_NEAR_DUP_PAIRS,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "top_orders_by_revenue": SQL_TOP_ORDERS_BY_REVENUE,
+    "region_customer_rollup": SQL_REGION_CUSTOMER_ROLLUP,
+    "brand_revenue": SQL_BRAND_REVENUE,
+    "events_hourly": SQL_EVENTS_HOURLY,
+    "user_sessions": SQL_USER_SESSIONS,
+    "top_events_per_user": SQL_TOP_EVENTS_PER_USER,
+}
