@@ -1,0 +1,125 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+     "sf": ..., "throughput_rows_per_sec": ..., "cpus": ...}
+
+The ``dedup_pipeline_xN`` entry is the scaling workload: the documents
+table replicated REPLICATE× (deterministic copies with distinct ids)
+pushed through the full fingerprint->LSH->verify->CC pipeline — a
+CPU-bound job whose throughput at two parallelism levels evidences the
+north_rule scaling criterion (see tools/bench_scaling.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "8"))
+
+
+def build_replicated_documents(spark, sf_dir: str, copies: int):
+    """documents mapped to the input_hint shape, replicated `copies`x
+    with distinct (repo, path) per copy — same content distribution,
+    `copies`x the fingerprint/LSH work. Deterministic."""
+    from pyspark.sql import functions as F
+
+    from imageduplicatefinder_spark.queries import _docs_as_input_hint
+
+    base = _docs_as_input_hint(spark, sf_dir)
+    rep = base.withColumn(
+        "copy", F.explode(F.sequence(F.lit(0), F.lit(copies - 1)))
+    )
+    return rep.select(
+        F.concat("repo", F.lit("#"), F.col("copy").cast("string")).alias("repo"),
+        "path",
+        "commit",
+        "lang",
+        "content",
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from imageduplicatefinder_spark.config import DedupConfig
+    from imageduplicatefinder_spark.plans.pipeline import DedupPipeline
+    from imageduplicatefinder_spark.queries import QUERIES
+    from imageduplicatefinder_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.monotonic()
+        fn()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    # headline catalog queries (count() forces full execution)
+    for q in (
+        "ngram_jaccard_pairs",
+        "token_set_dup_groups",
+        "doc_fingerprint",
+        "pricing_summary",
+        "top_orders_by_revenue",
+        "brand_revenue",
+        "events_hourly",
+        "user_sessions",
+        "ann_cosine_topk",
+        "embedding_near_dup_pairs",
+    ):
+        timed(q, lambda q=q: QUERIES[q](spark, sf_dir).count())
+
+    # flagship: full dedup pipeline on the replicated documents table
+    docs = build_replicated_documents(spark, sf_dir, REPLICATE).cache()
+    n_docs = docs.count()
+    # warmup: spin up Python workers / JIT on a small slice so the
+    # timed run measures compute, not first-run initialization
+    warm = docs.limit(1000).cache()
+    warm.count()
+    DedupPipeline(
+        spark, DedupConfig(), checkpoint_dir=tempfile.mkdtemp(prefix="bench_warm_")
+    ).run(warm).plan.count()
+    warm.unpersist()
+
+    t0 = time.monotonic()
+    pipe = DedupPipeline(
+        spark, DedupConfig(), checkpoint_dir=tempfile.mkdtemp(prefix="bench_ckpt_")
+    )
+    res = pipe.run(docs)
+    res.plan.count()
+    pipeline_wall = time.monotonic() - t0
+    timings[f"dedup_pipeline_x{REPLICATE}"] = round(pipeline_wall, 3)
+    docs.unpersist()
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "pipeline_docs": n_docs,
+                "throughput_rows_per_sec": round(n_docs / pipeline_wall, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

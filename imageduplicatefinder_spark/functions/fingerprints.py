@@ -65,21 +65,46 @@ def tokenize_series(content: pd.Series, tokenizer: str) -> pd.Series:
     return canon.map(list)
 
 
-def shingle_hashes_numpy(tokens: list[str], k: int) -> np.ndarray:
-    """Distinct k-shingle hashes (uint64) of one token list.
+# odd multipliers making the k-window combination order-sensitive and
+# well-mixed after the splitmix64 finalizer
+_COMBINE_C = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+     0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63, 0x2545F4914F6CDD1D,
+     0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53],
+    dtype=np.uint64,
+)
 
-    Shingles of docs shorter than k collapse to the whole-doc shingle,
-    so tiny docs still fingerprint (degenerate family, FIXTURES.md §3).
-    """
-    n = len(tokens)
+
+def _token_hashes(tokens: list[str]) -> np.ndarray:
+    if not tokens:
+        return np.empty(0, dtype=np.uint64)
+    return pd.util.hash_array(np.asarray(tokens, dtype=object))
+
+
+def _combine_windows(h: np.ndarray, k: int) -> np.ndarray:
+    """k-gram shingle hashes from token hashes: order-sensitive linear
+    combination + splitmix64 finalizer, fully vectorized. Docs shorter
+    than k collapse to one whole-doc shingle (zero-padded window) —
+    degenerate family, FIXTURES.md §3."""
+    if k > _COMBINE_C.shape[0]:
+        raise ValueError(f"shingle_k up to {_COMBINE_C.shape[0]} supported")
+    n = h.shape[0]
     if n == 0:
         return np.empty(0, dtype=np.uint64)
     if n < k:
-        shingles = ["\x1f".join(tokens)]
-    else:
-        shingles = ["\x1f".join(tokens[i : i + k]) for i in range(n - k + 1)]
-    h = pd.util.hash_array(np.asarray(shingles, dtype=object))  # uint64, deterministic
-    return np.unique(h)
+        h = np.pad(h, (0, k - n))
+        n = k
+    acc = np.zeros(n - k + 1, dtype=np.uint64)
+    for j in range(k):
+        acc += h[j : n - k + 1 + j] * _COMBINE_C[j]
+    return _mix64(acc)
+
+
+def shingle_hashes_numpy(tokens: list[str], k: int) -> np.ndarray:
+    """Distinct k-shingle hashes (uint64) of one token list — the
+    single-row reference for the batched kernel in _fingerprint_batch
+    (a test asserts they agree)."""
+    return np.unique(_combine_windows(_token_hashes(tokens), k))
 
 
 def minhash_numpy(shingle_hashes: np.ndarray, keys: np.ndarray) -> np.ndarray:
@@ -114,30 +139,118 @@ def simhash_numpy(token_hashes: np.ndarray) -> np.int64:
     return np.packbits(out_bits).view(np.uint64)[0].astype(np.int64)
 
 
+_SLAB_ELEMS = 1 << 20  # ~8 MB of uint64 per permutation-slab column block
+
+
 def _fingerprint_batch(
     content: pd.Series, cfg: DedupConfig, keys: np.ndarray
 ) -> pd.DataFrame:
+    """Whole-batch vectorized kernel: one token-hash call, boundary-masked
+    sliding-window shingles, reduceat MinHash/SimHash. Per-row Python is
+    limited to the final list materialization for the shingles column."""
+    k = cfg.shingle_k
     token_lists = tokenize_series(content, cfg.tokenizer)
-    minhashes: list[list[int]] = []
-    simhashes: list[int] = []
-    shingle_cols: list[list[int]] = []
-    n_tokens: list[int] = []
-    for tokens in token_lists:
-        sh = shingle_hashes_numpy(tokens, cfg.shingle_k)
-        minhashes.append(minhash_numpy(sh, keys).tolist())
-        if tokens:
-            th = pd.util.hash_array(np.asarray(tokens, dtype=object))
-        else:
-            th = np.empty(0, dtype=np.uint64)
-        simhashes.append(int(simhash_numpy(th)))
-        shingle_cols.append(sh.astype(np.int64).tolist())
-        n_tokens.append(len(tokens))
+    n_rows = len(token_lists)
+    counts = np.fromiter((len(t) for t in token_lists), dtype=np.int64,
+                         count=n_rows)
+    all_tokens: list[str] = [t for row in token_lists for t in row]
+    flat_h = _token_hashes(all_tokens)
+    row_of = np.repeat(np.arange(n_rows), counts)
+    row_starts = np.concatenate([[0], np.cumsum(counts)])
+
+    # --- simhash: unpack bits once, segment-sum per row ------------------
+    simhashes = np.zeros(n_rows, dtype=np.int64)
+    if flat_h.size:
+        bits = np.unpackbits(flat_h.view(np.uint8).reshape(-1, 8), axis=1)
+        nonempty = counts > 0
+        seg = row_starts[:-1][nonempty]
+        bitsums = np.add.reduceat(bits, seg, axis=0)
+        # reduceat merges segments of empty rows; nonempty mask gives the
+        # correct starts, one output row per nonempty doc
+        maj = (bitsums * 2 > counts[nonempty, None]).astype(np.uint8)
+        # same packing as simhash_numpy: packbits bytes viewed as
+        # native-endian uint64
+        simhashes[nonempty] = (
+            np.packbits(maj, axis=1).view(np.uint64).ravel().view(np.int64)
+        )
+
+    # --- shingles: sliding windows over the flat array, rows with n >= k;
+    #     short rows handled individually (rare) --------------------------
+    N = flat_h.size
+    sh_flat = np.empty(0, dtype=np.uint64)
+    sh_row = np.empty(0, dtype=np.int64)
+    if N >= k:
+        acc = np.zeros(N - k + 1, dtype=np.uint64)
+        for j in range(k):
+            acc += flat_h[j : N - k + 1 + j] * _COMBINE_C[j]
+        valid = row_of[: N - k + 1] == row_of[k - 1 :]
+        sh_flat = _mix64(acc[valid])
+        sh_row = row_of[: N - k + 1][valid]
+    short_rows = np.nonzero((counts > 0) & (counts < k))[0]
+    if short_rows.size:
+        extra = [
+            _combine_windows(flat_h[row_starts[r] : row_starts[r + 1]], k)
+            for r in short_rows
+        ]
+        sh_flat = np.concatenate([sh_flat, np.concatenate(extra)])
+        sh_row = np.concatenate([sh_row, short_rows.astype(np.int64)])
+        order = np.argsort(sh_row, kind="stable")
+        sh_flat, sh_row = sh_flat[order], sh_row[order]
+
+    # distinct sorted shingles per row, vectorized: lexsort + dedupe mask
+    if sh_flat.size:
+        order = np.lexsort((sh_flat, sh_row))
+        s_sorted, r_sorted = sh_flat[order], sh_row[order]
+        keep = np.ones(s_sorted.size, dtype=bool)
+        keep[1:] = (s_sorted[1:] != s_sorted[:-1]) | (r_sorted[1:] != r_sorted[:-1])
+        s_u, r_u = s_sorted[keep], r_sorted[keep]
+    else:
+        s_u = np.empty(0, dtype=np.uint64)
+        r_u = np.empty(0, dtype=np.int64)
+    u_counts = np.bincount(r_u, minlength=n_rows)
+    u_starts = np.concatenate([[0], np.cumsum(u_counts)])
+
+    # --- minhash: keyed permutations + minimum.reduceat in row slabs -----
+    num_perm = keys.shape[0]
+    sentinel = np.iinfo(np.int64).max
+    minhash_mat = np.full((n_rows, num_perm), sentinel, dtype=np.int64)
+    has_sh = np.nonzero(u_counts > 0)[0]
+    if has_sh.size:
+        # Slab rows so the (slab_elems x num_perm) matrix stays memory
+        # friendly. Orientation matters: reduceat along axis=0 reduces
+        # contiguous row-blocks with the 128-wide inner dim fully
+        # vectorized (axis=1 reduceat degrades to per-segment scalar
+        # loops — measured ~10x slower). Shingle ranges of ascending
+        # rows are contiguous in s_u, so a slab is a plain slice.
+        def flush(slab_rows: np.ndarray) -> None:
+            a = u_starts[slab_rows[0]]
+            b = u_starts[slab_rows[-1] + 1]
+            vals = s_u[a:b]
+            offs = u_starts[slab_rows] - a
+            perms = _mix64(vals[:, None] + keys[None, :])
+            mins = np.minimum.reduceat(perms, offs, axis=0)
+            minhash_mat[slab_rows, :] = mins.view(np.int64)
+
+        slab_start = 0
+        elems = 0
+        for i, r in enumerate(has_sh):
+            elems += int(u_counts[r])
+            if elems * num_perm >= _SLAB_ELEMS:
+                flush(has_sh[slab_start : i + 1])
+                slab_start, elems = i + 1, 0
+        if slab_start < has_sh.size:
+            flush(has_sh[slab_start:])
+
+    shingle_lists = [
+        s_u[u_starts[r] : u_starts[r + 1]].astype(np.int64).tolist()
+        for r in range(n_rows)
+    ]
     return pd.DataFrame(
         {
-            "minhash": minhashes,
+            "minhash": [row.tolist() for row in minhash_mat],
             "simhash": simhashes,
-            "shingles": shingle_cols,
-            "n_tokens": n_tokens,
+            "shingles": shingle_lists,
+            "n_tokens": counts,
         }
     )
 

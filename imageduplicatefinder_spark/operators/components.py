@@ -49,6 +49,16 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    # Convergence check: labels only ever decrease under min-propagation,
+    # so the exact sum of labels (decimal(38,0) — no overflow, no float
+    # loss) is strictly monotone and stalls exactly at the fixpoint.
+    # One cheap aggregate per round instead of a join + count.
+    def label_sum(df: DataFrame):
+        return df.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = label_sum(labels)
     for _ in range(max_iterations):
         # neighbor messages: label(a) offered to b
         msgs = sym.join(labels, sym.a == labels.node).select(
@@ -60,16 +70,11 @@ def connected_components(
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        new_sum = label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
 
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")

@@ -72,14 +72,17 @@ def capped_bands(bands: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataFra
     return kept, stats
 
 
-def candidate_pairs(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
+def pairs_from_capped_bands(kept: DataFrame) -> DataFrame:
     """Self-join on (band_id, band_hash) -> distinct (src, dst), src < dst.
 
     The src < dst predicate both dedups the symmetric pair and removes
     self-pairs — the Spark-native form of the reference's "don't return
     the probe itself" semantics.
+
+    ``kept`` should be a MATERIALIZED (checkpointed) band table: a
+    self-join scans its input twice, so an unmaterialized lineage here
+    would recompute the whole fingerprint->band chain twice.
     """
-    kept, _ = capped_bands(bands, cfg)
     left = kept.select("band_id", "band_hash", F.col("doc_id").alias("src"))
     right = kept.select("band_id", "band_hash", F.col("doc_id").alias("dst"))
     return (
@@ -88,3 +91,11 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
         .select("src", "dst")
         .distinct()
     )
+
+
+def candidate_pairs(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Cap hot bands then self-join. Convenience form for small inputs;
+    the pipeline materializes the capped band table first (see
+    ``pairs_from_capped_bands``)."""
+    kept, _ = capped_bands(bands, cfg)
+    return pairs_from_capped_bands(kept)

@@ -53,6 +53,15 @@ def compute_signatures(
         df = df.filter(F.col("lang").isin(langs))
     df = add_doc_id(df)
 
+    # The fingerprint UDF is embarrassingly parallel and CPU-bound; a
+    # narrow input (one parquet file -> one partition) would serialize
+    # it on a single core. Widen only when the scan is narrower than
+    # the cluster — at real scale the source already has thousands of
+    # partitions and this is a no-op.
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism * 2, "doc_id")
+
     fp = make_fingerprint_udf(cfg)
     df = df.select(
         "doc_id",

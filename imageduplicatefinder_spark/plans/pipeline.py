@@ -25,7 +25,11 @@ from pyspark.sql import functions as F
 from imageduplicatefinder_spark.config import DedupConfig
 from imageduplicatefinder_spark.operators.components import connected_components
 from imageduplicatefinder_spark.operators.exact import exact_dup_edges, representatives
-from imageduplicatefinder_spark.operators.lsh import band_table, candidate_pairs
+from imageduplicatefinder_spark.operators.lsh import (
+    band_table,
+    capped_bands,
+    pairs_from_capped_bands,
+)
 from imageduplicatefinder_spark.operators.plan import clusters_table, keeper_plan
 from imageduplicatefinder_spark.operators.signatures import compute_signatures
 from imageduplicatefinder_spark.operators.verify import verify_pairs
@@ -62,10 +66,16 @@ class DedupPipeline:
         )
 
         ex_edges = exact_dup_edges(signatures)
-        reps = representatives(signatures)
-        bands = band_table(reps, cfg)
+        # distinct-content representatives feed LSH and verification;
+        # cached because both the band build and the two-sided evidence
+        # join re-scan them (cheap: narrow columns + signature arrays)
+        reps = representatives(signatures).cache()
+        bands = self.ckpt.materialize(
+            "bands",
+            lambda: capped_bands(band_table(reps, cfg), cfg)[0],
+        )
         cands = self.ckpt.materialize(
-            "candidates", lambda: candidate_pairs(bands, cfg)
+            "candidates", lambda: pairs_from_capped_bands(bands)
         )
         verified = self.ckpt.materialize(
             "edges",
@@ -91,5 +101,6 @@ class DedupPipeline:
             "clusters", lambda: clusters_table(comps_full, signatures)
         )
         plan = self.ckpt.materialize("plan", lambda: keeper_plan(clusters))
+        reps.unpersist()
         return PipelineResult(signatures, verified, comps_full, clusters, plan,
                               self.ckpt)

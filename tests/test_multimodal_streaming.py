@@ -1,0 +1,115 @@
+"""Multimodal plumbing + streaming dedup tests."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from imageduplicatefinder_spark.operators.multimodal import (
+    FEATURE_DIM,
+    extract_features,
+    frame_sample,
+    media_dedup_by_feature,
+)
+from imageduplicatefinder_spark.streaming.dedup_stream import (
+    dedup_stream,
+    ingest_window_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, "image", bytes(range(200))),
+        (2, "image", bytes(range(200))),          # exact dup of 1
+        (3, "image", bytes(reversed(range(256)))),
+        (4, "audio", b""),                        # empty payload
+    ]
+    return spark.createDataFrame(rows, "id long, kind string, data binary")
+
+
+def test_extract_features_schema_and_determinism(spark, media):
+    out = extract_features(media, decode="fake")
+    rows = {r.id: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert all(len(r.feature) == FEATURE_DIM for r in rows.values())
+    # identical bytes -> identical features; empty -> zeros
+    assert rows[1].feature == rows[2].feature
+    assert rows[4].feature == [0.0] * FEATURE_DIM
+    assert rows[4].width == 0 and rows[4].height == 0
+
+
+def test_extract_features_real_decode_is_gated(spark, media):
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        extract_features(media, decode="real").collect()
+
+
+def test_frame_sample_cardinality(spark, media):
+    out = frame_sample(media, every_n_bytes=64).collect()
+    per_id = {}
+    for r in out:
+        per_id.setdefault(r.id, []).append(r.frame_offset)
+    assert sorted(per_id[1]) == [0, 64, 128, 192]  # 200 bytes / 64
+    assert per_id[4] == [0]  # empty payload -> one empty frame
+
+
+def test_media_dedup_by_feature(spark, media):
+    feats = extract_features(media, decode="fake")
+    pairs = media_dedup_by_feature(feats).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+
+
+# --- streaming ---------------------------------------------------------------
+
+
+def _doc_stream_rows():
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    return [
+        (t0, "r", "a.py", "c1", "py", "same content"),
+        (t0 + datetime.timedelta(seconds=30), "r", "b.py", "c2", "py", "same content"),
+        (t0 + datetime.timedelta(seconds=60), "r", "c.py", "c3", "py", "other content"),
+    ]
+
+
+STREAM_SCHEMA = (
+    "ts timestamp, repo string, path string, commit string, "
+    "lang string, content string"
+)
+
+
+def test_dedup_stream_drops_exact_dups(spark, tmp_path):
+    src = spark.createDataFrame(_doc_stream_rows(), STREAM_SCHEMA)
+    srcdir = str(tmp_path / "stream_src")
+    src.coalesce(1).write.parquet(srcdir)
+    stream = spark.readStream.schema(src.schema).parquet(srcdir)
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    out = spark.sql("select * from dedup_out").collect()
+    assert len(out) == 2  # one of the two 'same content' rows dropped
+    assert {r.content for r in out} == {"same content", "other content"}
+
+
+def test_ingest_window_stats_stream(spark, tmp_path):
+    src = spark.createDataFrame(_doc_stream_rows(), STREAM_SCHEMA)
+    srcdir = str(tmp_path / "stream_src2")
+    src.coalesce(1).write.parquet(srcdir)
+    stream = spark.readStream.schema(src.schema).parquet(srcdir)
+    q = (
+        ingest_window_stats(stream, window="1 minute")
+        .writeStream.format("memory")
+        .queryName("ingest_stats")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    out = spark.sql("select * from ingest_stats order by window_start").collect()
+    assert [r.n_docs for r in out] == [2, 1]
+    assert all(r.lang == "py" for r in out)
