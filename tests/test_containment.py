@@ -1,0 +1,30 @@
+from pyspark.sql import functions as F
+
+from imageduplicatefinder_spark.operators.containment import containment_verify
+
+
+def test_containment_verify_exact_and_canonical(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "def f():\n    return 1"),
+            (2, "HEADER\n\ndef f():\n    return 1\n\nFOOTER"),       # contains 1
+            (3, "def  f():\n  return  1"),                           # ws-variant of 1
+            (4, "something else entirely"),
+        ],
+        "doc_id long, content string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], "src long, dst long")
+    got = {(r.src, r.dst): r for r in containment_verify(pairs, docs).collect()}
+    assert got[(1, 2)].contained and got[(1, 2)].offset == 8
+    assert not got[(1, 3)].contained and got[(1, 3)].contained_canonical
+    assert not got[(1, 4)].contained and not got[(1, 4)].contained_canonical
+    assert got[(1, 4)].offset == -1
+
+
+def test_containment_empty_small_side(spark):
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "anything")], "doc_id long, content string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "src long, dst long")
+    r = containment_verify(pairs, docs).collect()[0]
+    assert r.contained and r.offset == 0  # empty string trivially contained

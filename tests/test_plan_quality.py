@@ -1,0 +1,83 @@
+"""Catalyst plan-quality assertions: the physical plans we ship must
+keep their scale-critical properties (pushdown, pruning, broadcast,
+no stray shuffles). These tests read .explain output — if a refactor
+silently loses a pushed filter or a broadcast hint, they fail."""
+
+import io
+from contextlib import redirect_stdout
+
+from pyspark.sql import functions as F
+
+from imageduplicatefinder_spark.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_lang_filter_is_pushed_down(spark):
+    df = QUERIES["lang_file_counts"](spark, SF_DIR)
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+    # the lang IN (...) predicate must reach the parquet scan
+    assert "In(lang" in plan, plan
+
+
+def test_scan_prunes_unused_columns(spark):
+    df = QUERIES["lang_file_counts"](spark, SF_DIR)
+    plan = plan_of(df)
+    # only lang + n_chars should be read, never the wide text column
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" not in read_schema, read_schema
+    assert "lang" in read_schema and "n_chars" in read_schema
+
+
+def test_dim_joins_are_broadcast(spark):
+    plan = plan_of(QUERIES["region_customer_rollup"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pricing_summary_partial_aggregation(spark):
+    plan = plan_of(QUERIES["pricing_summary"](spark, SF_DIR))
+    # hash aggregate must be split partial/final (map-side combine)
+    assert plan.count("HashAggregate") >= 2
+    # shipdate filter pushed to scan
+    assert "PushedFilters" in plan and "LessThanOrEqual(l_shipdate" in plan
+
+
+def test_pipeline_top1_single_shuffle(spark):
+    """Keeper plan = exactly one exchange (on cluster_id) feeding the
+    window. Formatted output lists each node twice (tree + detail), so
+    count the detail headers."""
+    import re
+
+    clusters = spark.createDataFrame(
+        [(1, 10, "r", "a", "c", 5)],
+        "cluster_id long, doc_id long, repo string, path string, "
+        "commit string, size long",
+    )
+    from imageduplicatefinder_spark.operators.plan import keeper_plan
+
+    plan = plan_of(keeper_plan(clusters))
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n_exchanges == 1, plan
+    assert "hashpartitioning(cluster_id" in plan
+
+
+def test_whole_stage_codegen_covers_relational_path(spark):
+    """Codegen markers only materialize with AQE off (pre-execution)."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_of(QUERIES["pricing_summary"](spark, SF_DIR))
+        # formatted mode marks codegen'd operators with "[codegen id : N]"
+        assert "[codegen id :" in plan, plan
+        # the parquet scan must be vectorized
+        assert "Batched: true" in plan
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
