@@ -11,16 +11,20 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 def exact_groups(signatures: DataFrame) -> DataFrame:
     """(sha256, rep_id, doc_id): every doc mapped to its exact-dup
-    representative = min doc_id of the sha256 group (deterministic)."""
-    w = Window.partitionBy("sha256")
-    return signatures.select(
-        "sha256", "doc_id", F.min("doc_id").over(w).alias("rep_id")
-    )
+    representative = min doc_id of the sha256 group (deterministic).
+
+    groupBy + join rather than a window: a window over sha256 sorts
+    each group on a single reducer, which dies on mega-groups (at
+    10^12 files a common blob — empty file, license text — can have
+    hundreds of millions of copies); the aggregate gets map-side
+    partial min for free and AQE splits any residual join skew.
+    """
+    reps = signatures.groupBy("sha256").agg(F.min("doc_id").alias("rep_id"))
+    return signatures.select("sha256", "doc_id").join(reps, on="sha256")
 
 
 def exact_dup_edges(signatures: DataFrame) -> DataFrame:
@@ -37,10 +41,10 @@ def exact_dup_edges(signatures: DataFrame) -> DataFrame:
 
 
 def representatives(signatures: DataFrame) -> DataFrame:
-    """One row per distinct content: the LSH stage runs on these only."""
-    w = Window.partitionBy("sha256").orderBy("doc_id")
-    return (
-        signatures.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    """One row per distinct content: the LSH stage runs on these only.
+
+    Implemented as a partial-aggregating min + semi-join on the
+    (sha256, min doc_id) key — no per-group sort, mega-group safe
+    (same reasoning as exact_groups)."""
+    mins = signatures.groupBy("sha256").agg(F.min("doc_id").alias("doc_id"))
+    return signatures.join(mins, on=["sha256", "doc_id"])

@@ -56,19 +56,38 @@ def band_table(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
 
 
 def capped_bands(bands: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataFrame]:
-    """Apply the hot-band cap. Returns (kept_bands, band_stats).
+    """Apply the hot-band cap via salted deterministic sampling.
+    Returns (kept_bands, band_stats).
+
+    Members of a band larger than ``max_band_size`` are down-sampled by
+    a deterministic hash threshold: keep iff
+    ``pmod(xxhash64(doc_id, band_id, band_hash), band_size) < cap``
+    (expected kept ≈ cap). This is the salting formulation of the cap:
+    no per-group sort, no single-reducer window — a mega-band
+    (license boilerplate at 10^12-file scale) is filtered map-side
+    after a broadcast-able size join, so the skewed key never
+    serializes onto one task. Exact duplicates never reach here (the
+    sha256 pre-pass collapsed them), so sampling only thins candidates
+    between near-identical boilerplate docs.
 
     band_stats: (band_id, band_hash, band_size, capped:boolean) — fed to
     the metrics table so dropped candidates are visible, not silent.
     """
-    w = Window.partitionBy("band_id", "band_hash").orderBy("doc_id")
-    sized = bands.withColumn("_rank", F.row_number().over(w))
-    kept = sized.filter(F.col("_rank") <= cfg.max_band_size).drop("_rank")
-    stats = (
-        bands.groupBy("band_id", "band_hash")
-        .agg(F.count("*").alias("band_size"))
-        .withColumn("capped", F.col("band_size") > cfg.max_band_size)
+    sizes = bands.groupBy("band_id", "band_hash").agg(
+        F.count("*").alias("band_size")
     )
+    stats = sizes.withColumn("capped", F.col("band_size") > cfg.max_band_size)
+    salted = bands.join(sizes, on=["band_id", "band_hash"])
+    kept = salted.filter(
+        (F.col("band_size") <= cfg.max_band_size)
+        | (
+            F.pmod(
+                F.xxhash64("doc_id", "band_id", "band_hash"),
+                F.col("band_size"),
+            )
+            < F.lit(cfg.max_band_size)
+        )
+    ).select("doc_id", "band_id", "band_hash")
     return kept, stats
 
 
