@@ -23,12 +23,18 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REPLICATE = int(os.environ.get("SPARK_GRAFT_REPLICATE", "8"))
+# distinct mode: suffix every token with the copy index so each copy's
+# content (and shingle set) is unique — the fingerprint UDF and LSH then
+# scale with volume. Default (exact-copy) mode instead exercises the
+# exact-dup collapse: the pipeline fingerprints only distinct content,
+# so copies are nearly free (the at-scale design win).
+DISTINCT_MODE = os.environ.get("SPARK_GRAFT_BENCH_DISTINCT", "0") == "1"
 
 
-def build_replicated_documents(spark, sf_dir: str, copies: int):
+def build_replicated_documents(spark, sf_dir: str, copies: int,
+                               distinct: bool = DISTINCT_MODE):
     """documents mapped to the input_hint shape, replicated `copies`x
-    with distinct (repo, path) per copy — same content distribution,
-    `copies`x the fingerprint/LSH work. Deterministic."""
+    with distinct (repo, path) per copy. Deterministic."""
     from pyspark.sql import functions as F
 
     from imageduplicatefinder_spark.queries import _docs_as_input_hint
@@ -37,12 +43,23 @@ def build_replicated_documents(spark, sf_dir: str, copies: int):
     rep = base.withColumn(
         "copy", F.explode(F.sequence(F.lit(0), F.lit(copies - 1)))
     )
+    content = F.col("content")
+    if distinct:
+        # suffix must stay INSIDE the \w+ token ("keyc3", not "key#3"):
+        # a separator would split off a copy-digit token shared by every
+        # doc of the copy, inflating within-copy jaccard and exploding
+        # the candidate space
+        suffix = F.concat(F.lit("c"), F.col("copy").cast("string"))
+        content = F.concat_ws(
+            " ",
+            F.transform(F.split("content", " "), lambda t: F.concat(t, suffix)),
+        )
     return rep.select(
         F.concat("repo", F.lit("#"), F.col("copy").cast("string")).alias("repo"),
         "path",
         "commit",
         "lang",
-        "content",
+        content.alias("content"),
     )
 
 
@@ -101,7 +118,8 @@ def main() -> None:
     res = pipe.run(docs)
     res.plan.count()
     pipeline_wall = time.monotonic() - t0
-    timings[f"dedup_pipeline_x{REPLICATE}"] = round(pipeline_wall, 3)
+    mode = "distinct" if DISTINCT_MODE else "replica"
+    timings[f"dedup_pipeline_x{REPLICATE}_{mode}"] = round(pipeline_wall, 3)
     docs.unpersist()
 
     total = round(sum(timings.values()), 3)

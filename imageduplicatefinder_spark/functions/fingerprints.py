@@ -245,12 +245,14 @@ def _fingerprint_batch(
         s_u[u_starts[r] : u_starts[r + 1]].astype(np.int64).tolist()
         for r in range(n_rows)
     ]
+    band_mat = band_hashes_numpy(minhash_mat, cfg.lsh_bands, cfg.lsh_rows)
     return pd.DataFrame(
         {
             "minhash": [row.tolist() for row in minhash_mat],
             "simhash": simhashes,
             "shingles": shingle_lists,
             "n_tokens": counts,
+            "bands": [row.tolist() for row in band_mat],
         }
     )
 
@@ -261,8 +263,24 @@ FINGERPRINT_SCHEMA = T.StructType(
         T.StructField("simhash", T.LongType()),
         T.StructField("shingles", T.ArrayType(T.LongType(), False)),
         T.StructField("n_tokens", T.IntegerType()),
+        T.StructField("bands", T.ArrayType(T.LongType(), False)),
     ]
 )
+
+
+def band_hashes_numpy(minhash_mat: np.ndarray, bands: int, rows: int) -> np.ndarray:
+    """LSH band hashes from a (n_docs, num_perm) signature matrix:
+    band j of doc i = mix64 of the order-sensitive combination of its
+    r signature slots + the band index. Vectorized for the whole batch —
+    doing this JVM-side costs 64 array-slice allocations per row.
+    """
+    n = minhash_mat.shape[0]
+    sig = minhash_mat.view(np.uint64).reshape(n, bands, rows)
+    acc = np.full((n, bands), 0, dtype=np.uint64)
+    for j in range(rows):
+        acc += sig[:, :, j] * _COMBINE_C[j % _COMBINE_C.shape[0]]
+    acc += np.arange(bands, dtype=np.uint64)[None, :] * np.uint64(0x9E3779B97F4A7C15)
+    return _mix64(acc).view(np.int64)
 
 
 def make_fingerprint_udf(cfg: DedupConfig):

@@ -64,11 +64,14 @@ def connected_components(
         msgs = sym.join(labels, sym.a == labels.node).select(
             F.col("b").alias("node"), "label"
         )
+        # lazy checkpoint: the label_sum action both materializes the
+        # round's result (truncating lineage) and tests convergence —
+        # exactly ONE Spark job per round
         new_labels = (
             msgs.union(labels.select("node", "label"))
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         new_sum = label_sum(new_labels)
         labels = new_labels

@@ -32,10 +32,20 @@ from imageduplicatefinder_spark.config import DedupConfig
 def band_table(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     """signatures -> (doc_id, band_id, band_hash), one row per band.
 
+    When the fingerprint UDF precomputed per-band hashes (``bands``
+    column), this is a pure posexplode; otherwise band hashes are
+    derived JVM-side from signature slices (64 slice+hash expressions —
+    the slower fallback for externally-produced signature tables).
+
     Docs below ``cfg.min_tokens`` tokens are excluded (no meaningful
     shingles — the degenerate/solid-color analog,
     ref: src/test/java/hash/PHashDctTest.java:49-99).
     """
+    filtered = signatures.filter(F.col("n_tokens") >= cfg.min_tokens)
+    if "bands" in signatures.columns:
+        return filtered.select(
+            "doc_id", F.posexplode("bands").alias("band_id", "band_hash")
+        )
     b, r = cfg.lsh_bands, cfg.lsh_rows
     bands = F.array(
         *[
@@ -49,7 +59,7 @@ def band_table(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
         ]
     )
     return (
-        signatures.filter(F.col("n_tokens") >= cfg.min_tokens)
+        filtered
         .select("doc_id", F.explode(bands).alias("band"))
         .select("doc_id", "band.band_id", "band.band_hash")
     )
@@ -73,13 +83,19 @@ def capped_bands(bands: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataFra
     band_stats: (band_id, band_hash, band_size, capped:boolean) — fed to
     the metrics table so dropped candidates are visible, not silent.
     """
+    bands = bands.localCheckpoint(eager=False)  # scanned twice below
     sizes = bands.groupBy("band_id", "band_hash").agg(
         F.count("*").alias("band_size")
     )
     stats = sizes.withColumn("capped", F.col("band_size") > cfg.max_band_size)
-    salted = bands.join(sizes, on=["band_id", "band_hash"])
+    # join only the HOT set (bands over the cap): in realistic corpora
+    # it is tiny (boilerplate), so AQE turns this into a broadcast join
+    # and the common case is a map-side null-check instead of a full
+    # sort-merge of the band table against all sizes
+    hot = sizes.filter(F.col("band_size") > cfg.max_band_size)
+    salted = bands.join(hot, on=["band_id", "band_hash"], how="left")
     kept = salted.filter(
-        (F.col("band_size") <= cfg.max_band_size)
+        F.col("band_size").isNull()
         | (
             F.pmod(
                 F.xxhash64("doc_id", "band_id", "band_hash"),

@@ -34,6 +34,54 @@ def add_doc_id(df: DataFrame) -> DataFrame:
     return df.withColumn("doc_id", F.xxhash64("repo", "path", "commit"))
 
 
+def _widen_if_narrow(df: DataFrame, source: DataFrame) -> DataFrame:
+    """Repartition when the source scan is narrower than the cluster.
+
+    CPU-bound stages (sha256, the fingerprint UDF) serialize on a
+    single core when the input is one parquet file / one cached
+    partition. inputFiles() is metadata-only (an rdd.getNumPartitions()
+    probe triggers an extra job under AQE); non-file sources report 0
+    files and are small, so they are widened too. At real scale the
+    source has thousands of files and this is a no-op.
+    """
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        n_files = len(source.inputFiles())
+    except Exception:  # noqa: BLE001 - conservative: widen on unknown sources
+        n_files = 0
+    if n_files < parallelism:
+        return df.repartition(parallelism * 2, "doc_id")
+    return df
+
+
+def hash_documents(
+    documents: DataFrame,
+    langs: list[str] | None = None,
+) -> DataFrame:
+    """documents -> narrow per-row hash table (NO Python UDF):
+    (doc_id, repo, path, commit, lang, sha256, size).
+
+    This is the cheap first pass that lets the pipeline collapse exact
+    duplicates BEFORE fingerprinting — at 10^12-file scale exact copies
+    dominate, and running the shingle/MinHash UDF on every copy (as the
+    reference hashes every file, ref: app/Commands.java:72-84) wastes
+    the bulk of the compute. sha2 is JVM-side whole-stage-codegen.
+    """
+    df = documents
+    if langs:
+        df = df.filter(F.col("lang").isin(langs))
+    df = _widen_if_narrow(add_doc_id(df), documents)
+    return df.select(
+        "doc_id",
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        F.sha2(F.col("content").cast("string"), 256).alias("sha256"),
+        F.length("content").cast("long").alias("size"),
+    )
+
+
 def compute_signatures(
     documents: DataFrame,
     cfg: DedupConfig,
@@ -53,14 +101,7 @@ def compute_signatures(
         df = df.filter(F.col("lang").isin(langs))
     df = add_doc_id(df)
 
-    # The fingerprint UDF is embarrassingly parallel and CPU-bound; a
-    # narrow input (one parquet file -> one partition) would serialize
-    # it on a single core. Widen only when the scan is narrower than
-    # the cluster — at real scale the source already has thousands of
-    # partitions and this is a no-op.
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
-        df = df.repartition(parallelism * 2, "doc_id")
+    df = _widen_if_narrow(df, documents)
 
     fp = make_fingerprint_udf(cfg)
     df = df.select(
@@ -83,6 +124,7 @@ def compute_signatures(
         F.col("fp.n_tokens").alias("n_tokens"),
         F.col("fp.simhash").alias("simhash"),
         F.col("fp.minhash").alias("minhash"),
+        F.col("fp.bands").alias("bands"),
         *(["fp.shingles"] if keep_shingles else []),
     )
     return df

@@ -42,6 +42,7 @@ class CheckpointManager:
     root: str
     config_hash: str
     metrics: list[StageMetric] = field(default_factory=list)
+    _pending_metric_rows: list[tuple] = field(default_factory=list)
 
     def _dir(self, stage: str) -> str:
         return os.path.join(self.root, stage, self.config_hash)
@@ -99,16 +100,28 @@ class CheckpointManager:
         return out
 
     def _append_metrics_table(self, meta: dict) -> None:
+        # buffered: one tiny parquet append per stage would cost a Spark
+        # job each; rows accumulate and flush once per pipeline run
         rows = [
             (meta["stage"], meta["config_hash"], int(pid), int(cnt),
              float(meta["wall_s"]))
             for pid, cnt in meta["partitions"].items()
         ] or [(meta["stage"], meta["config_hash"], -1, 0, float(meta["wall_s"]))]
+        self._pending_metric_rows.extend(rows)
+
+    def flush_metrics(self) -> None:
+        if not self._pending_metric_rows:
+            return
         mdf = self.spark.createDataFrame(
-            rows, "stage string, config_hash string, partition_id int, "
-                  "rows long, wall_s double"
+            self._pending_metric_rows,
+            "stage string, config_hash string, partition_id int, "
+            "rows long, wall_s double",
         )
-        mdf.write.mode("append").parquet(os.path.join(self.root, "_metrics"))
+        mdf.coalesce(1).write.mode("append").parquet(
+            os.path.join(self.root, "_metrics")
+        )
+        self._pending_metric_rows = []
 
     def metrics_table(self) -> DataFrame:
+        self.flush_metrics()
         return self.spark.read.parquet(os.path.join(self.root, "_metrics"))

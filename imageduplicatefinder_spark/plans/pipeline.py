@@ -4,14 +4,18 @@
 :393-431), with stage checkpoints replacing the CSV hand-offs.
 
     documents
-      -> signatures   (fingerprint UDF; ckpt)            [ref: idf hash]
-      -> exact edges  (sha256 groupBy star edges)
-      -> LSH bands    (JVM-side band hashing on distinct-content reps)
-      -> candidates   (band equi-join, hot-band cap; ckpt)
-      -> verified edges (hamming/jaccard/containment; ckpt)
-      -> components   (iterative min-label propagation)   [ref: idf cluster]
-      -> clusters     (>=2 members; ckpt)
-      -> plan         (windowed keeper; ckpt)             [ref: idf plan]
+      -> documents_hashed (JVM sha256, narrow; ckpt)      [ref: idf hash]
+      -> exact-dup collapse: fingerprint ONLY distinct content —
+         the reference hashes every file (Commands.java:72-84); at
+         10^12-file scale exact copies dominate, so the expensive
+         shingle/MinHash UDF runs on representatives only
+      -> signatures (fingerprint UDF on reps; ckpt)
+      -> LSH bands (JVM band hashing, salted hot-band cap; ckpt)
+      -> candidates (band equi-join; ckpt)
+      -> verified edges (Jaccard/containment/Hamming; ckpt)
+      -> components (iterative min-label propagation)     [ref: idf cluster]
+      -> clusters (>=2 members; ckpt)
+      -> plan (windowed keeper; ckpt)                     [ref: idf plan]
 """
 
 from __future__ import annotations
@@ -24,25 +28,29 @@ from pyspark.sql import functions as F
 
 from imageduplicatefinder_spark.config import DedupConfig
 from imageduplicatefinder_spark.operators.components import connected_components
-from imageduplicatefinder_spark.operators.exact import exact_dup_edges, representatives
 from imageduplicatefinder_spark.operators.lsh import (
     band_table,
     capped_bands,
     pairs_from_capped_bands,
 )
 from imageduplicatefinder_spark.operators.plan import clusters_table, keeper_plan
-from imageduplicatefinder_spark.operators.signatures import compute_signatures
+from imageduplicatefinder_spark.operators.signatures import (
+    add_doc_id,
+    compute_signatures,
+    hash_documents,
+)
 from imageduplicatefinder_spark.operators.verify import verify_pairs
 from imageduplicatefinder_spark.plans.checkpoint import CheckpointManager
 
 
 @dataclass
 class PipelineResult:
-    signatures: DataFrame
-    edges: DataFrame       # verified near-dup edges (src, dst, evidence)
-    components: DataFrame  # (doc_id, cluster_id) incl. exact-dup members
-    clusters: DataFrame    # >=2-member clusters with identity columns
-    plan: DataFrame        # KEEP/DELETE decisions
+    documents_hashed: DataFrame  # per-row: doc_id, identity, sha256, size
+    signatures: DataFrame        # fingerprints of distinct-content reps
+    edges: DataFrame             # verified near-dup edges (src, dst, evidence)
+    components: DataFrame        # (doc_id, cluster_id) for ALL rows
+    clusters: DataFrame          # >=2-member clusters with identity columns
+    plan: DataFrame              # KEEP/DELETE decisions
     ckpt: CheckpointManager
 
 
@@ -61,25 +69,43 @@ class DedupPipeline:
 
     def run(self, documents: DataFrame, langs: list[str] | None = None) -> PipelineResult:
         cfg = self.cfg
-        signatures = self.ckpt.materialize(
-            "signatures", lambda: compute_signatures(documents, cfg, langs=langs)
+
+        docs_tbl = self.ckpt.materialize(
+            "documents_hashed", lambda: hash_documents(documents, langs=langs)
         )
 
-        ex_edges = exact_dup_edges(signatures)
-        # distinct-content representatives feed LSH and verification;
-        # cached because both the band build and the two-sided evidence
-        # join re-scan them (cheap: narrow columns + signature arrays)
-        reps = representatives(signatures).cache()
+        # exact-dup star edges rep -> member (distance-0 classes,
+        # ref: index/BKTreeIndex.java:27); groupBy-min + join, no window
+        rep_ids = docs_tbl.groupBy("sha256").agg(F.min("doc_id").alias("rep_id"))
+        ex_edges = (
+            docs_tbl.join(rep_ids, on="sha256")
+            .filter(F.col("doc_id") != F.col("rep_id"))
+            .select(F.col("rep_id").alias("src"), F.col("doc_id").alias("dst"))
+        )
+
+        # fingerprint ONLY distinct-content representatives
+        def build_signatures() -> DataFrame:
+            reps = rep_ids.select(F.col("rep_id").alias("doc_id"))
+            rep_docs = add_doc_id(
+                documents if not langs
+                else documents.filter(F.col("lang").isin(langs))
+            ).join(reps, on="doc_id")
+            return compute_signatures(
+                rep_docs.select("repo", "path", "commit", "lang", "content"), cfg
+            )
+
+        signatures = self.ckpt.materialize("signatures", build_signatures)
+
         bands = self.ckpt.materialize(
             "bands",
-            lambda: capped_bands(band_table(reps, cfg), cfg)[0],
+            lambda: capped_bands(band_table(signatures, cfg), cfg)[0],
         )
         cands = self.ckpt.materialize(
             "candidates", lambda: pairs_from_capped_bands(bands)
         )
         verified = self.ckpt.materialize(
             "edges",
-            lambda: verify_pairs(cands, reps, cfg).filter(F.col("verified")),
+            lambda: verify_pairs(cands, signatures, cfg).filter(F.col("verified")),
         )
 
         all_edges = verified.select("src", "dst").union(
@@ -90,7 +116,7 @@ class DedupPipeline:
         # clusters table anyway, ref: app/Commands.java:149-151)
         comps_full = self.ckpt.materialize(
             "components",
-            lambda: signatures.select("doc_id")
+            lambda: docs_tbl.select("doc_id")
             .join(comps, on="doc_id", how="left")
             .select(
                 "doc_id",
@@ -98,9 +124,9 @@ class DedupPipeline:
             ),
         )
         clusters = self.ckpt.materialize(
-            "clusters", lambda: clusters_table(comps_full, signatures)
+            "clusters", lambda: clusters_table(comps_full, docs_tbl)
         )
         plan = self.ckpt.materialize("plan", lambda: keeper_plan(clusters))
-        reps.unpersist()
-        return PipelineResult(signatures, verified, comps_full, clusters, plan,
-                              self.ckpt)
+        self.ckpt.flush_metrics()
+        return PipelineResult(docs_tbl, signatures, verified, comps_full,
+                              clusters, plan, self.ckpt)

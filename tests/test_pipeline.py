@@ -31,7 +31,7 @@ def result(spark, corpus):
 
 
 def _found_pairs(result):
-    sig = result.signatures.select("doc_id", "repo", "path", "commit").collect()
+    sig = result.documents_hashed.select("doc_id", "repo", "path", "commit").collect()
     key = {r.doc_id: GeneratedCorpus.key(r.repo, r.path, r.commit) for r in sig}
     byc = {}
     for r in result.components.collect():
@@ -50,7 +50,7 @@ def test_sha256_per_row_invariant(result, corpus):
         GeneratedCorpus.key(r, p, c): hashlib.sha256(content.encode()).hexdigest()
         for (r, p, c, _, content) in corpus.rows
     }
-    got = result.signatures.select("repo", "path", "commit", "sha256").collect()
+    got = result.documents_hashed.select("repo", "path", "commit", "sha256").collect()
     assert len(got) == len(oracle)
     for r in got:
         assert r.sha256 == oracle[GeneratedCorpus.key(r.repo, r.path, r.commit)]

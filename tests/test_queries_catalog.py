@@ -1,0 +1,47 @@
+"""Smoke the query catalog at sf0.001: every registered query must
+build a valid plan and execute; oracle-paired queries are value-checked
+separately by tools/check_oracles.py (and the driver) at sf0.01."""
+
+import pytest
+
+from imageduplicatefinder_spark.queries import ORACLES, QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+LIGHT = [
+    "exact_dup_clusters",
+    "token_set_dup_groups",
+    "dedup_keeper_plan",
+    "token_stats",
+    "quality_scores",
+    "lang_id_heuristic",
+    "doc_fingerprint",
+    "lang_file_counts",
+    "embedding_norms",
+    "ann_cosine_topk",
+    "pricing_summary",
+    "top_orders_by_revenue",
+    "region_customer_rollup",
+    "events_hourly",
+    "user_sessions",
+]
+
+
+@pytest.mark.parametrize("name", LIGHT)
+def test_query_runs(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.columns) >= 1
+
+
+def test_registry_consistency():
+    # every oracle key must have a query; spark-only queries are the
+    # documented non-SQL-expressible set
+    assert set(ORACLES) <= set(QUERIES)
+    spark_only = set(QUERIES) - set(ORACLES)
+    assert spark_only == {
+        "minhash_lsh_candidates",
+        "near_dup_clusters",
+        "simhash_hamming_pairs",
+        "ann_lsh_bucketed",
+    }

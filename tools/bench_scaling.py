@@ -11,6 +11,11 @@ physically expose a 4x speedup; 2->8 keeps both levels under the
 hardware ceiling so the measurement reflects the ENGINE's scaling, not
 the host's oversubscription.
 
+The shared host's background load varies run to run (other tenants);
+each level therefore runs SPARK_GRAFT_BENCH_RUNS times (default 2) and
+the BEST wall is kept — best-of approximates the uncontended capability
+of each parallelism level, which is what the efficiency ratio is about.
+
 Usage: python tools/bench_scaling.py [sf_dir] [n_low] [n_high]
 """
 
@@ -21,8 +26,10 @@ import os
 import subprocess
 import sys
 
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
 
-def run(cpus: int, sf_dir: str) -> dict:
+
+def _run_once(cpus: int, sf_dir: str) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
@@ -32,6 +39,14 @@ def run(cpus: int, sf_dir: str) -> dict:
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     return json.loads(line)
+
+
+def run(cpus: int, sf_dir: str) -> dict:
+    runs = [_run_once(cpus, sf_dir) for _ in range(N_RUNS)]
+    key = next(k for k in runs[0]["queries"] if k.startswith("dedup_pipeline"))
+    best = min(runs, key=lambda r: r["queries"][key])
+    best["all_walls"] = [r["queries"][key] for r in runs]
+    return best
 
 
 def main() -> None:
@@ -53,11 +68,13 @@ def main() -> None:
             "wall_s": t_low,
             "rows_per_sec": round(r_low["pipeline_docs"] / t_low, 1),
             "total_s": r_low["value"],
+            "all_walls": r_low["all_walls"],
         },
         f"local{n_high}": {
             "wall_s": t_high,
             "rows_per_sec": round(r_high["pipeline_docs"] / t_high, 1),
             "total_s": r_high["value"],
+            "all_walls": r_high["all_walls"],
         },
         "parallelism_factor": factor,
         "speedup": round(speedup, 3),
