@@ -7,14 +7,21 @@ scale: new documents arrive on a stream, exact duplicates are dropped
 within a watermark horizon, and per-window ingest stats feed the
 metrics table.
 
-Patterns used (all built-in, no custom state store logic):
+Patterns used:
 - ``withWatermark + dropDuplicates([sha256])`` — streaming exact-dedup;
   state bounded by the watermark horizon.
 - windowed groupBy counts — per-window ingest telemetry.
+- ``applyInPandasWithState`` — custom stateful operator tracking, per
+  content hash, the first-seen arrival and a running duplicate count
+  (the streaming analog of the exact-dup pre-pass with per-class
+  statistics the batch path gets from groupBy).
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -57,4 +64,58 @@ def ingest_window_stats(
             "n_docs",
             "total_bytes",
         )
+    )
+
+
+DUP_STATE_OUTPUT = (
+    "sha256 string, first_path string, first_ts timestamp, dup_count long"
+)
+DUP_STATE_SCHEMA = "first_path string, first_ts timestamp, dup_count long"
+
+
+def stateful_dup_tracker(documents_stream: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: for each
+    content sha256, keep (first_path, first_ts, dup_count) in the state
+    store and emit an updated row whenever new arrivals land.
+
+    Unlike ``dropDuplicates`` (which only suppresses), this surfaces
+    duplicate PRESSURE per content class — the continuous-ingest signal
+    a training-data pipeline alerts on (a sudden flood of one blob).
+    State is per-key and incremental: arbitrarily long streams hold one
+    small row per distinct content.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def track(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        first_path, first_ts, dup_count = (
+            state.get if state.exists else (None, None, 0)
+        )
+        for pdf in batches:
+            pdf = pdf.sort_values("ts")
+            for path, ts in zip(pdf["path"], pdf["ts"]):
+                if first_path is None:
+                    first_path, first_ts = path, ts
+                else:
+                    dup_count += 1
+        state.update((first_path, first_ts, dup_count))
+        yield pd.DataFrame(
+            {
+                "sha256": [key[0]],
+                "first_path": [first_path],
+                "first_ts": [first_ts],
+                "dup_count": [dup_count],
+            }
+        )
+
+    hashed = documents_stream.withColumn("sha256", F.sha2(F.col("content"), 256))
+    return hashed.groupBy("sha256").applyInPandasWithState(
+        track,
+        outputStructType=DUP_STATE_OUTPUT,
+        stateStructType=DUP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

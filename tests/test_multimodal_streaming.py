@@ -113,3 +113,25 @@ def test_ingest_window_stats_stream(spark, tmp_path):
     out = spark.sql("select * from ingest_stats order by window_start").collect()
     assert [r.n_docs for r in out] == [2, 1]
     assert all(r.lang == "py" for r in out)
+
+
+def test_stateful_dup_tracker(spark, tmp_path):
+    from imageduplicatefinder_spark.streaming.dedup_stream import stateful_dup_tracker
+
+    src = spark.createDataFrame(_doc_stream_rows(), STREAM_SCHEMA)
+    srcdir = str(tmp_path / "stream_src3")
+    src.coalesce(1).write.parquet(srcdir)
+    stream = spark.readStream.schema(src.schema).parquet(srcdir)
+    q = (
+        stateful_dup_tracker(stream)
+        .writeStream.format("memory")
+        .queryName("dup_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    out = {r.first_path: r for r in spark.sql("select * from dup_state").collect()}
+    # 'same content' arrived twice: first a.py, one duplicate counted
+    assert out["a.py"].dup_count == 1
+    assert out["c.py"].dup_count == 0
