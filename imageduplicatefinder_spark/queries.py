@@ -728,6 +728,73 @@ FROM (
 """
 
 
+def q_order_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual pivot (conditional aggregation) — identical column names on
+    both engines, unlike native PIVOT syntax."""
+    orders = load_table(spark, sf_dir, "orders")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    aggs = [
+        F.sum(F.when(F.col("o_orderpriority") == p, 1).otherwise(0)).alias(
+            f"prio_{p[0]}"
+        )
+        for p in prios
+    ]
+    return orders.groupBy("o_orderstatus").agg(*aggs)
+
+
+SQL_ORDER_PRIORITY_PIVOT = """
+SELECT o_orderstatus,
+       sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)::BIGINT AS prio_1,
+       sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)::BIGINT AS prio_2,
+       sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END)::BIGINT AS prio_3,
+       sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END)::BIGINT AS prio_4,
+       sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)::BIGINT AS prio_5
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def q_repeat_customers_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators: customers ordering in BOTH 1995 and 1996
+    (INTERSECT) minus those who also ordered in 1997 (EXCEPT)."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def custs(year: int) -> DataFrame:
+        return orders.filter(F.year("o_orderdate") == year).select(
+            "o_custkey"
+        ).distinct()
+
+    return custs(1995).intersect(custs(1996)).exceptAll(custs(1997)).select(
+        F.col("o_custkey").alias("custkey")
+    )
+
+
+SQL_REPEAT_CUSTOMERS_SETOPS = """
+SELECT o_custkey AS custkey FROM (
+  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+  INTERSECT
+  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+  EXCEPT
+  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+)
+"""
+
+
+def q_event_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation: unique users + total events per type."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("unique_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+SQL_EVENT_USER_REACH = """
+SELECT event_type, count(DISTINCT user_id) AS unique_users,
+       count(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # E. Spark-only operators (no SQL analog -> rows-only driver check)
 # ---------------------------------------------------------------------------
@@ -858,6 +925,9 @@ QUERIES: dict[str, QueryFn] = {
     "events_hourly": q_events_hourly,
     "user_sessions": q_user_sessions,
     "top_events_per_user": q_top_events_per_user,
+    "order_priority_pivot": q_order_priority_pivot,
+    "repeat_customers_setops": q_repeat_customers_setops,
+    "event_user_reach": q_event_user_reach,
     # Spark-only (rows-only driver check)
     "minhash_lsh_candidates": q_minhash_lsh_candidates,
     "near_dup_clusters": q_near_dup_clusters,
@@ -887,4 +957,7 @@ ORACLES: dict[str, str] = {
     "events_hourly": SQL_EVENTS_HOURLY,
     "user_sessions": SQL_USER_SESSIONS,
     "top_events_per_user": SQL_TOP_EVENTS_PER_USER,
+    "order_priority_pivot": SQL_ORDER_PRIORITY_PIVOT,
+    "repeat_customers_setops": SQL_REPEAT_CUSTOMERS_SETOPS,
+    "event_user_reach": SQL_EVENT_USER_REACH,
 }
