@@ -895,6 +895,17 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (coarse quantizer + nprobe inverted lists) —
+    the third similarity-search tier alongside brute force (oracle) and
+    hyperplane-LSH buckets."""
+    from imageduplicatefinder_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(emb, queries_df, k=5, nlist=8, nprobe=3)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -933,6 +944,7 @@ QUERIES: dict[str, QueryFn] = {
     "near_dup_clusters": q_near_dup_clusters,
     "simhash_hamming_pairs": q_simhash_hamming_pairs,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
+    "ann_ivf_topk": q_ann_ivf_topk,
 }
 
 ORACLES: dict[str, str] = {

@@ -44,4 +44,5 @@ def test_registry_consistency():
         "near_dup_clusters",
         "simhash_hamming_pairs",
         "ann_lsh_bucketed",
+        "ann_ivf_topk",
     }
