@@ -73,6 +73,45 @@ def containment_verify(pairs: DataFrame, documents: DataFrame) -> DataFrame:
     return joined.mapInPandas(check, CONTAINMENT_SCHEMA)
 
 
+def containment_verify_grouped(pairs: DataFrame, documents: DataFrame) -> DataFrame:
+    """Grouped form: candidate pairs grouped per larger-side document so
+    one host's content is deserialized once per group instead of once
+    per pair (matters when a popular host — a vendored library, a big
+    generated file — attracts thousands of candidates).
+
+    Same output schema as containment_verify.
+    """
+    c = documents.select("doc_id", "content")
+    joined = (
+        pairs.join(c.select(F.col("doc_id").alias("src"),
+                            F.col("content").alias("content_src")), on="src")
+        .join(c.select(F.col("doc_id").alias("dst"),
+                       F.col("content").alias("content_dst")), on="dst")
+    )
+
+    def check_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = {"src": [], "dst": [], "contained": [],
+               "contained_canonical": [], "offset": []}
+        # all rows share dst: canonicalize the host once
+        big = pdf["content_dst"].iloc[0]
+        big_canon = _canon(big)
+        for src, dst, ca in zip(pdf["src"], pdf["dst"], pdf["content_src"]):
+            small, host, host_canon = ca, big, big_canon
+            if len(ca) > len(big):
+                small, host, host_canon = big, ca, _canon(ca)
+            off = host.find(small) if small else 0
+            out["src"].append(src)
+            out["dst"].append(dst)
+            out["contained"].append(off >= 0)
+            out["contained_canonical"].append(
+                off >= 0 or _canon(small) in host_canon
+            )
+            out["offset"].append(off)
+        return pd.DataFrame(out)
+
+    return joined.groupBy("dst").applyInPandas(check_group, CONTAINMENT_SCHEMA)
+
+
 def containment_candidates(
     signatures: DataFrame,
     min_ratio: float = 1.5,

@@ -377,6 +377,36 @@ FROM documents
 """
 
 
+_BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: subword-boundary regex (letter runs,
+    digit runs, punctuation singletons) vs whitespace tokens — the
+    cheap LLM-token-budget estimator for a training-data pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_RE), 0))
+    words = F.size(_words())
+    return docs.select(
+        "doc_id",
+        bpe.alias("n_bpe_tokens"),
+        words.alias("n_word_tokens"),
+        F.floor(bpe * 1000.0 / words).alias("bpe_per_word_milli"),
+    )
+
+
+SQL_BPE_TOKEN_COUNTS = """
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+         AS n_bpe_tokens,
+       len(string_split(text, ' ')) AS n_word_tokens,
+       CAST(floor(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+            * 1000.0 / len(string_split(text, ' '))) AS BIGINT)
+         AS bpe_per_word_milli
+FROM documents
+"""
+
+
 def q_lang_file_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 extension-filter analog: per-lang counts after a pushed-down
     predicate (ref: app/Commands.java:74)."""
@@ -924,6 +954,7 @@ QUERIES: dict[str, QueryFn] = {
     "lang_id_heuristic": q_lang_id_heuristic,
     "doc_fingerprint": q_doc_fingerprint,
     "lang_file_counts": q_lang_file_counts,
+    "bpe_token_counts": q_bpe_token_counts,
     # embeddings / similarity search
     "embedding_norms": q_embedding_norms,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -959,6 +990,7 @@ ORACLES: dict[str, str] = {
     "lang_id_heuristic": SQL_LANG_ID_HEURISTIC,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "lang_file_counts": SQL_LANG_FILE_COUNTS,
+    "bpe_token_counts": SQL_BPE_TOKEN_COUNTS,
     "embedding_norms": SQL_EMBEDDING_NORMS,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "embedding_near_dup_pairs": SQL_EMBEDDING_NEAR_DUP_PAIRS,

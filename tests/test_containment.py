@@ -28,3 +28,30 @@ def test_containment_empty_small_side(spark):
     pairs = spark.createDataFrame([(1, 2)], "src long, dst long")
     r = containment_verify(pairs, docs).collect()[0]
     assert r.contained and r.offset == 0  # empty string trivially contained
+
+
+def test_containment_verify_grouped_matches_plain(spark):
+    from imageduplicatefinder_spark.operators.containment import (
+        containment_verify_grouped,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta"),
+            (2, "X alpha beta Y"),
+            (3, "alpha  beta"),
+            (4, "nothing shared"),
+            (5, "Z X alpha beta Y W"),
+        ],
+        "doc_id long, content string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 2), (4, 2), (2, 5)], "src long, dst long"
+    )
+    plain = {(r.src, r.dst): (r.contained, r.contained_canonical, r.offset)
+             for r in containment_verify(pairs, docs).collect()}
+    grouped = {(r.src, r.dst): (r.contained, r.contained_canonical, r.offset)
+               for r in containment_verify_grouped(pairs, docs).collect()}
+    assert plain == grouped
+    assert grouped[(1, 2)][0] and grouped[(2, 5)][0]
+    assert not grouped[(4, 2)][0]
