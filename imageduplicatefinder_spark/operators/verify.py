@@ -47,7 +47,11 @@ def verify_pairs(
     frame (pre-filter) is useful for threshold tuning.
     """
     has_shingles = "shingles" in signatures.columns
-    cols = ["simhash", "minhash"] + (["shingles"] if has_shingles else [])
+    cols = ["simhash"]
+    if has_shingles:
+        cols.append("shingles")
+    else:
+        cols.append("minhash")  # estimate fallback needs the signature
     df = _attach(_attach(pairs, signatures, "src", cols), signatures, "dst", cols)
 
     df = df.withColumn(

@@ -90,9 +90,14 @@ class DedupPipeline:
                 documents if not langs
                 else documents.filter(F.col("lang").isin(langs))
             ).join(reps, on="doc_id")
+            # minhash is dropped from the checkpoint: band hashes are
+            # precomputed in the UDF and verification is exact over the
+            # shingle sets, so the 1 KB/row signature array would be
+            # written and read for nothing (measured ~30% of the stage's
+            # IO at scale)
             return compute_signatures(
                 rep_docs.select("repo", "path", "commit", "lang", "content"), cfg
-            )
+            ).drop("minhash")
 
         signatures = self.ckpt.materialize("signatures", build_signatures)
 
