@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 def connected_components(
     edges: DataFrame,
     max_iterations: int = 50,
+    on_nonconverged: str = "raise",
 ) -> DataFrame:
     """edges(src:long, dst:long) -> (doc_id:long, cluster_id:long).
 
@@ -35,7 +36,15 @@ def connected_components(
     singleton nodes back if they need full coverage (the reference
     likewise emits singletons from BFS then drops them at write,
     ref: app/Commands.java:149-151).
+
+    If the label-sum fixpoint is not reached within ``max_iterations``
+    (a component with diameter > max_iterations — e.g. a long chain of
+    containment hosts), the labels would silently split one component
+    into several clusters, so the default is to ``raise``; pass
+    ``on_nonconverged="warn"`` to log and return the partial labels.
     """
+    if on_nonconverged not in ("raise", "warn"):
+        raise ValueError(f"unknown on_nonconverged {on_nonconverged!r}")
     sym = edges.select(
         F.col("src").alias("a"), F.col("dst").alias("b")
     ).union(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
@@ -59,6 +68,7 @@ def connected_components(
         ).collect()[0]["s"]
 
     prev_sum = label_sum(labels)
+    converged = False
     for _ in range(max_iterations):
         # neighbor messages: label(a) offered to b
         msgs = sym.join(labels, sym.a == labels.node).select(
@@ -76,8 +86,21 @@ def connected_components(
         new_sum = label_sum(new_labels)
         labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+
+    if not converged:
+        msg = (
+            f"connected_components did not converge in {max_iterations} "
+            "rounds — a component has diameter > max_iterations and its "
+            "labels are still propagating (results would be split clusters)"
+        )
+        if on_nonconverged == "raise":
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
 
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")

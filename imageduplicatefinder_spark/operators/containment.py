@@ -114,22 +114,37 @@ def containment_verify_grouped(pairs: DataFrame, documents: DataFrame) -> DataFr
 
 def containment_candidates(
     signatures: DataFrame,
+    cfg=None,
     min_ratio: float = 1.5,
-    containment_milli_min: int = 700,
 ) -> DataFrame:
-    """Asymmetric-length candidate pre-filter: pairs whose shingle
-    containment is already high AND whose sizes differ by >= min_ratio
-    (symmetric near-dups are handled by the Jaccard path)."""
-    a = signatures.select(F.col("doc_id").alias("src"),
-                          F.col("size").alias("size_src"))
-    b = signatures.select(F.col("doc_id").alias("dst"),
-                          F.col("size").alias("size_dst"))
+    """Asymmetric-length candidate pre-filter: LSH band collisions whose
+    sizes differ by >= min_ratio (symmetric near-dups are handled by
+    the Jaccard path; this surfaces the "small doc embedded in a big
+    host" shape for exact containment confirmation).
 
-    def with_ratio(df: DataFrame) -> DataFrame:
-        big = F.greatest("size_src", "size_dst").cast("double")
-        small = F.least("size_src", "size_dst").cast("double")
-        return df.withColumn("size_ratio", F.try_divide(big, small))
+    Candidates come from the SAME banded equi-join as the Jaccard path
+    (operators/lsh.py) — a shared shingle between a snippet and its
+    host still drives band collisions, so the hot-band-capped LSH
+    machinery is reused instead of an all-pairs size join (the previous
+    crossJoin formulation invited O(n^2) at scale). ``signatures``
+    needs (doc_id, size, n_tokens) plus ``bands`` or ``minhash``.
+    """
+    from imageduplicatefinder_spark.config import DedupConfig
+    from imageduplicatefinder_spark.operators.lsh import band_table, candidate_pairs
 
-    return with_ratio(a.crossJoin(b).filter(F.col("src") < F.col("dst"))).filter(
-        F.col("size_ratio") >= min_ratio
-    ).select("src", "dst")
+    cfg = cfg or DedupConfig()
+    pairs = candidate_pairs(band_table(signatures, cfg), cfg)
+    sizes = signatures.select("doc_id", "size")
+    withs = (
+        pairs.join(sizes.select(F.col("doc_id").alias("src"),
+                                F.col("size").alias("size_src")), on="src")
+        .join(sizes.select(F.col("doc_id").alias("dst"),
+                           F.col("size").alias("size_dst")), on="dst")
+    )
+    big = F.greatest("size_src", "size_dst").cast("double")
+    small = F.least("size_src", "size_dst").cast("double")
+    return (
+        withs.withColumn("size_ratio", F.try_divide(big, small))
+        .filter(F.col("size_ratio") >= min_ratio)
+        .select("src", "dst")
+    )

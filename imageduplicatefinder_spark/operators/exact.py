@@ -13,18 +13,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def rep_ids(signatures: DataFrame) -> DataFrame:
+    """(sha256, rep_id): deterministic representative per content class
+    = min doc_id of the sha256 group.
+
+    groupBy rather than a window: a window over sha256 sorts each group
+    on a single reducer, which dies on mega-groups (at 10^12 files a
+    common blob — empty file, license text — can have hundreds of
+    millions of copies); the aggregate gets map-side partial min for
+    free and AQE splits any residual join skew.
+    """
+    return signatures.groupBy("sha256").agg(F.min("doc_id").alias("rep_id"))
+
+
 def exact_groups(signatures: DataFrame) -> DataFrame:
     """(sha256, rep_id, doc_id): every doc mapped to its exact-dup
-    representative = min doc_id of the sha256 group (deterministic).
-
-    groupBy + join rather than a window: a window over sha256 sorts
-    each group on a single reducer, which dies on mega-groups (at
-    10^12 files a common blob — empty file, license text — can have
-    hundreds of millions of copies); the aggregate gets map-side
-    partial min for free and AQE splits any residual join skew.
-    """
-    reps = signatures.groupBy("sha256").agg(F.min("doc_id").alias("rep_id"))
-    return signatures.select("sha256", "doc_id").join(reps, on="sha256")
+    representative (see ``rep_ids`` for the mega-group-safe shape)."""
+    return signatures.select("sha256", "doc_id").join(rep_ids(signatures),
+                                                      on="sha256")
 
 
 def exact_dup_edges(signatures: DataFrame) -> DataFrame:
@@ -45,6 +51,6 @@ def representatives(signatures: DataFrame) -> DataFrame:
 
     Implemented as a partial-aggregating min + semi-join on the
     (sha256, min doc_id) key — no per-group sort, mega-group safe
-    (same reasoning as exact_groups)."""
-    mins = signatures.groupBy("sha256").agg(F.min("doc_id").alias("doc_id"))
+    (same reasoning as rep_ids)."""
+    mins = rep_ids(signatures).withColumnRenamed("rep_id", "doc_id")
     return signatures.join(mins, on=["sha256", "doc_id"])

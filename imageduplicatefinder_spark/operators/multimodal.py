@@ -107,23 +107,23 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
     )
 
 
-def media_dedup_by_feature(features: DataFrame, threshold: float = 0.999) -> DataFrame:
-    """Near-dup pairs among media items by feature cosine — reuses the
-    embedding similarity machinery over decoded features."""
-    a = features.select(F.col("id").alias("id_a"), F.col("feature").alias("fa"))
-    b = features.select(F.col("id").alias("id_b"), F.col("feature").alias("fb"))
-    dot = F.aggregate(
-        F.zip_with("fa", "fb", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x,
-    )
-    na = F.sqrt(F.aggregate(F.transform("fa", lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda acc, x: acc + x))
-    nb = F.sqrt(F.aggregate(F.transform("fb", lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda acc, x: acc + x))
-    # try_divide: zero-norm features (empty payloads) yield null, not an
-    # ANSI divide-by-zero error, and null fails the threshold filter
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", F.try_divide(dot, na * nb))
-        .filter(F.col("cos") >= threshold)
-        .select("id_a", "id_b", F.floor(F.col("cos") * 1000).cast("long").alias("cosine_milli"))
+def media_dedup_by_feature(
+    features: DataFrame, threshold: float = 0.999, n_blocks: int = 8
+) -> DataFrame:
+    """Near-dup pairs among media items by feature cosine — routed
+    through the embedding similarity machinery
+    (``operators.similarity.blocked_cosine_pairs``): exact, no
+    cartesian product, no driver collect. Zero-norm features (empty
+    payloads) produce NaN cosine and fail the threshold, matching the
+    old ``try_divide``-null semantics."""
+    from imageduplicatefinder_spark.operators.similarity import blocked_cosine_pairs
+
+    return blocked_cosine_pairs(
+        features,
+        threshold=threshold,
+        id_col="id",
+        vec_col="feature",
+        n_blocks=n_blocks,
+        out_a="id_a",
+        out_b="id_b",
     )

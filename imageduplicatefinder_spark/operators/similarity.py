@@ -1,13 +1,18 @@
-"""Approximate nearest-neighbor search over an embedding column.
+"""Similarity search over an embedding column.
 
-Three tiers, matching how a 100 TB deployment would actually escalate:
+Tiers, matching how a 100 TB deployment would actually escalate:
 
-1. ``brute_force_topk`` — exact cosine top-k via broadcast matmul
-   (queries.py `ann_cosine_topk` is the oracle-checked form). Correct,
-   O(N*Q); the baseline every approximate method is measured against.
-2. ``ann_lsh_bucketed`` (queries.py) — random-hyperplane buckets;
+1. ``blocked_cosine_pairs`` (here) — EXACT all-pairs cosine >=
+   threshold as a distributed block-matrix self-join: no driver-side
+   collect, no cartesian product in the plan, bounded executor memory
+   (each task holds two ~n/B-row blocks and does one BLAS matmul).
+   Inherently O(n^2) compute — the exact operator, distributed; the
+   approximate tiers below are the sub-quadratic scale paths.
+2. brute-force top-k (queries.py `ann_cosine_topk`, oracle-checked) —
+   broadcast query side x full scan; the ANN correctness baseline.
+3. ``ann_lsh_bucketed`` (queries.py) — random-hyperplane buckets;
    pairs only form within a bucket.
-3. ``ivf_topk`` (here) — IVF: a coarse quantizer (deterministic
+4. ``ivf_topk`` (here) — IVF: a coarse quantizer (deterministic
    centroid sample + one Lloyd refinement) partitions vectors into
    nlist inverted lists; each query probes its ``nprobe`` nearest
    lists and brute-forces only those. The Spark shape: centroids are
@@ -26,24 +31,104 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
-    rows = df.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    return ids, mat
+def blocked_cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_blocks: int = 8,
+    out_a: str = "vec_a",
+    out_b: str = "vec_b",
+) -> DataFrame:
+    """Exact pairs with cosine >= threshold, distributed block-matrix
+    form: rows are hashed into ``n_blocks`` blocks, each row is
+    replicated once per partner block, and every unordered block pair
+    (i <= j) becomes one ``applyInPandas`` group computing its tile of
+    the similarity matrix with a single float64 BLAS matmul.
+
+    Pair-uniqueness invariant: a same-block pair {a, b} exists only in
+    group (i, i); a cross-block pair only in group (i, j), i < j, as a
+    cross product of the two sides — so no distinct() pass is needed.
+    Zero-norm vectors produce NaN cosine and fail the threshold (same
+    semantics as a null from ``try_divide``).
+
+    Shuffle volume is n_blocks x the input (replication), compute is
+    O(n^2/2) multiply-adds spread over B(B+1)/2 independent tasks —
+    pick ``n_blocks`` ~ sqrt(2 x cores) so every core gets a tile.
+    Output: (out_a, out_b, cosine_milli) with out_a < out_b.
+    """
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("_blk"),
+    )
+    rep = base.withColumn(
+        "_p", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))
+    ).select(
+        F.least("_blk", "_p").alias("_gi"),
+        F.greatest("_blk", "_p").alias("_gj"),
+        "_id",
+        "_vec",
+        "_blk",
+    )
+
+    def tile(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        gi, gj = int(key[0]), int(key[1])
+        ids = pdf["_id"].to_numpy(dtype=np.int64)
+        mat = np.array(list(pdf["_vec"]), dtype=np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        norms[norms == 0.0] = np.nan
+        if gi == gj:
+            with np.errstate(invalid="ignore"):
+                cos = (mat @ mat.T) / np.outer(norms, norms)
+                mask = (cos >= threshold) & (ids[:, None] < ids[None, :])
+            ai, bi = np.nonzero(mask)
+            a_ids, b_ids = ids[ai], ids[bi]
+        else:
+            left = pdf["_blk"].to_numpy() == gi
+            la, lb = np.nonzero(left)[0], np.nonzero(~left)[0]
+            with np.errstate(invalid="ignore"):
+                cos = (mat[la] @ mat[lb].T) / np.outer(norms[la], norms[lb])
+                mask = cos >= threshold
+            ai, bi = np.nonzero(mask)
+            xa, xb = ids[la][ai], ids[lb][bi]
+            a_ids, b_ids = np.minimum(xa, xb), np.maximum(xa, xb)
+        vals = cos[ai, bi]
+        return pd.DataFrame(
+            {
+                out_a: a_ids,
+                out_b: b_ids,
+                "cosine_milli": np.floor(vals * 1000).astype(np.int64),
+            }
+        )
+
+    return rep.groupBy("_gi", "_gj").applyInPandas(
+        tile, f"{out_a} long, {out_b} long, cosine_milli long"
+    )
 
 
 def train_centroids(
     embeddings: DataFrame,
     nlist: int = 16,
     seed: int = 42,
+    id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> np.ndarray:
     """Deterministic coarse quantizer: seeded sample as initial
     centroids + one Lloyd step over a bounded sample (the quantizer
-    trains on a sample even at 100 TB — standard IVF practice)."""
-    sample = embeddings.select(vec_col).limit(4096).collect()
-    mat = np.array([r[0] for r in sample], dtype=np.float64)
+    trains on a sample even at 100 TB — standard IVF practice).
+
+    The sample is ordered by ``xxhash64(id)`` before the limit — a
+    bare ``limit().collect()`` picks whichever partitions answer
+    first, which is stable in local mode but not on a real cluster;
+    the hash order is a cluster-safe pseudo-random draw."""
+    sample = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(4096)
+        .collect()
+    )
+    mat = np.array([r[1] for r in sample], dtype=np.float64)
     rng = np.random.default_rng(seed)
     centroids = mat[rng.choice(mat.shape[0], size=nlist, replace=False)]
     # one Lloyd refinement
@@ -98,7 +183,7 @@ def ivf_topk(
     Output: (query_id, rank, neighbor_id, cosine_milli).
     """
     centroids = train_centroids(embeddings, nlist=nlist, seed=seed,
-                                vec_col=vec_col)
+                                id_col=id_col, vec_col=vec_col)
     listed = assign_lists(embeddings, centroids, id_col, vec_col)
 
     spark = embeddings.sparkSession

@@ -10,20 +10,72 @@ a ``_meta.json`` sidecar, and rows appended to a ``_metrics`` table
 prove which partitions it reused (north_rule: resumable mid-run with
 per-partition lineage + metrics).
 
-Resume rule: a stage whose checkpoint exists for the same config hash is
-read back instead of recomputed (ref analog: WebServer job-progress
-registry, app/WebServer.java:29-36, made durable).
+Resume rule: a stage whose checkpoint exists for the same config hash
+AND the same input signature is read back instead of recomputed (ref
+analog: WebServer job-progress registry, app/WebServer.java:29-36, made
+durable). The input signature (source file set + schema, or the
+analyzed-plan semantic hash for in-memory sources) is stored in
+``_meta.json`` — without it, rerunning the same config over different
+documents against an existing checkpoint_dir would silently return the
+previous corpus's results.
+
+Lineage metrics come from the parquet FILE FOOTERS (pyarrow metadata,
+driver-side, no Spark job): re-scanning each checkpoint just to count
+rows per partition would double every stage's read IO at scale.
+
+Sidecar IO (``_meta.json``) uses the local filesystem — correct for
+this sandbox's driver-local checkpoint roots; a deployment writing to
+object storage would route these few-KB sidecars through the Hadoop
+FileSystem API (same layout, same keys).
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import re
 import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
+
+
+def input_signature(df: DataFrame) -> str:
+    """Identity of a pipeline input: the sorted source-file set plus the
+    schema (metadata-only for the file sources real deployments use);
+    for non-file sources (createDataFrame — driver-built, so small by
+    construction) the schema plus row count. The file-set form catches
+    any corpus change; the in-memory form is a weaker guard (same-count
+    different-content inputs alias) but in-memory inputs only occur in
+    tests/demos. Folded into checkpoint ``_meta.json`` so a resume only
+    reuses stages computed from the SAME input."""
+    try:
+        files = sorted(df.inputFiles())
+    except Exception:  # noqa: BLE001 - non-file sources
+        files = []
+    ident = json.dumps({"files": files, "schema": df.schema.simpleString()})
+    if not files:
+        ident += f"|count={df.count()}"
+    return hashlib.sha256(ident.encode()).hexdigest()[:16]
+
+
+_PART_RE = re.compile(r"part-(\d+)")
+
+
+def _footer_partition_rows(d: str) -> dict[int, int]:
+    """Per-output-partition row counts from parquet footers (metadata
+    only — no data read, no Spark job)."""
+    import pyarrow.parquet as pq
+
+    out: dict[int, int] = {}
+    for i, name in enumerate(sorted(os.listdir(d))):
+        if not name.endswith(".parquet") or name.startswith("_"):
+            continue
+        m = _PART_RE.match(name)
+        pid = int(m.group(1)) if m else i
+        out[pid] = pq.ParquetFile(os.path.join(d, name)).metadata.num_rows
+    return out
 
 
 @dataclass
@@ -41,6 +93,7 @@ class CheckpointManager:
     spark: SparkSession
     root: str
     config_hash: str
+    input_sig: str | None = None
     metrics: list[StageMetric] = field(default_factory=list)
     _pending_metric_rows: list[tuple] = field(default_factory=list)
 
@@ -49,13 +102,20 @@ class CheckpointManager:
 
     def exists(self, stage: str) -> bool:
         d = self._dir(stage)
-        return os.path.exists(os.path.join(d, "_meta.json")) and os.path.exists(
-            os.path.join(d, "_SUCCESS")
-        )
+        meta_path = os.path.join(d, "_meta.json")
+        if not (os.path.exists(meta_path)
+                and os.path.exists(os.path.join(d, "_SUCCESS"))):
+            return False
+        if self.input_sig is not None:
+            meta = json.load(open(meta_path))
+            if meta.get("input_sig") != self.input_sig:
+                return False  # same config, DIFFERENT corpus: recompute
+        return True
 
     def materialize(self, stage: str, df_fn, num_partitions: int | None = None) -> DataFrame:
         """Run ``df_fn()`` and checkpoint, or read back an existing
-        checkpoint for this config. Records a metrics row either way."""
+        checkpoint for this (config, input). Records a metrics row
+        either way."""
         d = self._dir(stage)
         t0 = time.monotonic()
         if self.exists(stage):
@@ -75,21 +135,19 @@ class CheckpointManager:
         writer.parquet(d)
         out = self.spark.read.parquet(d)
 
-        # per-partition lineage: rows per output partition
-        part_rows = (
-            out.groupBy(F.spark_partition_id().alias("partition_id"))
-            .count()
-            .collect()
-        )
-        rows = sum(r["count"] for r in part_rows)
+        # per-partition lineage from the parquet footers — metadata only,
+        # no second scan of the stage output
+        part_rows = _footer_partition_rows(d)
+        rows = sum(part_rows.values())
         wall = time.monotonic() - t0
         meta = {
             "stage": stage,
             "config_hash": self.config_hash,
+            "input_sig": self.input_sig,
             "rows": rows,
             "n_partitions": len(part_rows),
             "wall_s": wall,
-            "partitions": {str(r["partition_id"]): r["count"] for r in part_rows},
+            "partitions": {str(pid): cnt for pid, cnt in part_rows.items()},
         }
         with open(os.path.join(d, "_meta.json"), "w") as f:
             json.dump(meta, f, indent=1)

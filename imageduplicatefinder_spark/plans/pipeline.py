@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from imageduplicatefinder_spark.config import DedupConfig
 from imageduplicatefinder_spark.operators.components import connected_components
+from imageduplicatefinder_spark.operators.exact import exact_dup_edges, rep_ids
 from imageduplicatefinder_spark.operators.lsh import (
     band_table,
     capped_bands,
@@ -40,7 +41,10 @@ from imageduplicatefinder_spark.operators.signatures import (
     hash_documents,
 )
 from imageduplicatefinder_spark.operators.verify import verify_pairs
-from imageduplicatefinder_spark.plans.checkpoint import CheckpointManager
+from imageduplicatefinder_spark.plans.checkpoint import (
+    CheckpointManager,
+    input_signature,
+)
 
 
 @dataclass
@@ -69,23 +73,40 @@ class DedupPipeline:
 
     def run(self, documents: DataFrame, langs: list[str] | None = None) -> PipelineResult:
         cfg = self.cfg
+        # checkpoint reuse is keyed by (stage, config_hash, input identity):
+        # same config over a different corpus must recompute, not replay
+        self.ckpt.input_sig = input_signature(documents)
 
         docs_tbl = self.ckpt.materialize(
             "documents_hashed", lambda: hash_documents(documents, langs=langs)
         )
 
+        # guard the 64-bit doc_id identity: xxhash64(repo,path,commit) is
+        # an optimization-only shuffle key; the natural key rides along in
+        # every table, but a silent collision would merge unrelated docs
+        # into one CC node / cluster id. Birthday bound ~n^2/2^65 (~3e4
+        # expected at 10^12 rows) — so the pipeline CHECKS instead of
+        # assuming: one agg over the already-materialized hash table.
+        idc = docs_tbl.agg(
+            F.count("*").alias("n"),
+            F.count_distinct("doc_id").alias("n_ids"),
+        ).collect()[0]
+        if idc["n"] != idc["n_ids"]:
+            raise RuntimeError(
+                f"doc_id collision: {idc['n'] - idc['n_ids']} duplicate "
+                "64-bit ids for distinct (repo, path, commit) keys — "
+                "rerun with a salted/widened id scheme"
+            )
+
         # exact-dup star edges rep -> member (distance-0 classes,
         # ref: index/BKTreeIndex.java:27); groupBy-min + join, no window
-        rep_ids = docs_tbl.groupBy("sha256").agg(F.min("doc_id").alias("rep_id"))
-        ex_edges = (
-            docs_tbl.join(rep_ids, on="sha256")
-            .filter(F.col("doc_id") != F.col("rep_id"))
-            .select(F.col("rep_id").alias("src"), F.col("doc_id").alias("dst"))
-        )
+        # (operators/exact.py is the single source of truth)
+        reps_tbl = rep_ids(docs_tbl)
+        ex_edges = exact_dup_edges(docs_tbl)
 
         # fingerprint ONLY distinct-content representatives
         def build_signatures() -> DataFrame:
-            reps = rep_ids.select(F.col("rep_id").alias("doc_id"))
+            reps = reps_tbl.select(F.col("rep_id").alias("doc_id"))
             rep_docs = add_doc_id(
                 documents if not langs
                 else documents.filter(F.col("lang").isin(langs))

@@ -506,44 +506,19 @@ FROM ranked WHERE rank <= 5
 def q_embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup detection: all pairs with cosine >= 0.95.
 
-    Broadcast-side brute force: the full embedding matrix (small side)
-    is broadcast to every partition and each Arrow batch computes its
-    block of the similarity matrix with one BLAS matmul inside
-    ``mapInPandas`` — the idiomatic Spark shape for "fact x small dim"
-    similarity (a per-pair Catalyst expression over the cross join is
-    ~50x slower: 2M pairs x 64 multiply-adds in the interpreter). For
-    corpora where the matrix no longer fits an executor, the bucketed
-    LSH variant (``ann_lsh_bucketed``) is the scale path.
+    Distributed block-matrix self-join (``blocked_cosine_pairs``): rows
+    hash into B blocks, every unordered block pair is one applyInPandas
+    tile computed with a single float64 BLAS matmul. EXACT (the oracle
+    below is the plain SQL all-pairs form) with no driver-side collect
+    and no cartesian product — executor memory holds two n/B-row tiles,
+    so the operator survives tables that dwarf the driver. Compute is
+    inherently O(n^2); the sub-quadratic scale paths are
+    ``ann_lsh_bucketed`` / ``ann_ivf_topk``.
     """
-    import numpy as np
-    import pandas as pd
+    from imageduplicatefinder_spark.operators.similarity import blocked_cosine_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    rows = emb.select("vec_id", "embedding").collect()  # small dim side
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    mat = np.array([r.embedding for r in rows], dtype=np.float64)
-    norms = np.sqrt((mat * mat).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids, mat, norms))
-
-    def block(batches):
-        b_ids, b_mat, b_norms = bc.value
-        for pdf in batches:
-            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            a_mat = np.array(list(pdf["embedding"]), dtype=np.float64)
-            a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
-            cos = (a_mat @ b_mat.T) / np.outer(a_norms, b_norms)
-            ai, bi = np.nonzero((cos >= 0.95) & (a_ids[:, None] < b_ids[None, :]))
-            yield pd.DataFrame(
-                {
-                    "vec_a": a_ids[ai],
-                    "vec_b": b_ids[bi],
-                    "cosine_milli": np.floor(cos[ai, bi] * 1000).astype(np.int64),
-                }
-            )
-
-    return emb.select("vec_id", "embedding").mapInPandas(
-        block, "vec_a long, vec_b long, cosine_milli long"
-    )
+    return blocked_cosine_pairs(emb, threshold=0.95, n_blocks=8)
 
 
 SQL_EMBEDDING_NEAR_DUP_PAIRS = """

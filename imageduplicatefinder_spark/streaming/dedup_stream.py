@@ -8,8 +8,12 @@ within a watermark horizon, and per-window ingest stats feed the
 metrics table.
 
 Patterns used:
-- ``withWatermark + dropDuplicates([sha256])`` — streaming exact-dedup;
-  state bounded by the watermark horizon.
+- ``withWatermark + dropDuplicatesWithinWatermark([sha256])`` —
+  streaming exact-dedup with state actually bounded by the watermark
+  horizon (plain ``dropDuplicates`` never evicts keys: the watermark
+  only filters late rows, so state grows without bound and duplicates
+  arriving after the horizon are still suppressed — the documented
+  reason dropDuplicatesWithinWatermark exists).
 - windowed groupBy counts — per-window ingest telemetry.
 - ``applyInPandasWithState`` — custom stateful operator tracking, per
   content hash, the first-seen arrival and a running duplicate count
@@ -31,6 +35,13 @@ def dedup_stream(documents_stream: DataFrame, watermark: str = "10 minutes") -> 
     within the watermark horizon. Input must carry an event-time
     column ``ts``; output keeps the first arrival of each content.
 
+    State is evicted once a key falls behind the watermark
+    (``dropDuplicatesWithinWatermark``), so a continuous stream holds
+    one state row per distinct content seen within the horizon — NOT
+    per distinct content ever. A duplicate arriving after the horizon
+    is re-emitted by design (the batch pipeline's exact pre-pass is
+    the global dedup; this operator bounds in-flight duplication).
+
     Batch analog: the sha256 exact-dup pre-pass
     (operators/exact.py; ref BK-tree distance-0 merge,
     index/BKTreeIndex.java:27).
@@ -38,7 +49,7 @@ def dedup_stream(documents_stream: DataFrame, watermark: str = "10 minutes") -> 
     return (
         documents_stream.withColumn("sha256", F.sha2(F.col("content"), 256))
         .withWatermark("ts", watermark)
-        .dropDuplicates(["sha256"])
+        .dropDuplicatesWithinWatermark(["sha256"])
     )
 
 

@@ -2,6 +2,7 @@
 hand-built inputs (ref style: src/test/java/index/BKTreeIndexTest.java:19-107,
 cluster/ClustererTest.java:27-153)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from imageduplicatefinder_spark.config import DedupConfig
@@ -128,3 +129,19 @@ def test_cc_long_chain_converges(spark):
     n = 33
     pairs = [(i, i + 1) for i in range(n)]
     assert _comps(spark, pairs) == [list(range(n + 1))]
+
+
+def test_cc_raises_on_nonconvergence(spark):
+    # a 12-node chain cannot converge in 2 rounds of min propagation
+    chain = [(i, i + 1) for i in range(12)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(_edges(spark, chain), max_iterations=2)
+
+
+def test_cc_warn_mode_returns_partial(spark):
+    chain = [(i, i + 1) for i in range(12)]
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        rows = connected_components(
+            _edges(spark, chain), max_iterations=2, on_nonconverged="warn"
+        ).collect()
+    assert len(rows) == 13

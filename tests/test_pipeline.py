@@ -116,3 +116,18 @@ def test_resume_reuses_checkpoints(spark, corpus):
     pipe2 = DedupPipeline(spark, DedupConfig(), checkpoint_dir=d)
     pipe2.run(df)
     assert all(m.reused for m in pipe2.ckpt.metrics)
+
+
+def test_resume_different_corpus_recomputes(spark, corpus):
+    """Same config + same checkpoint_dir but a DIFFERENT input must
+    recompute every stage, not replay the previous corpus's results
+    (checkpoint identity = config_hash + input signature)."""
+    d = tempfile.mkdtemp()
+    df1 = corpus_to_dataframe(spark, corpus)
+    DedupPipeline(spark, DedupConfig(), checkpoint_dir=d).run(df1)
+    other = generate_corpus(n_families=3, n_background=20, seed=7)
+    df2 = corpus_to_dataframe(spark, other)
+    pipe2 = DedupPipeline(spark, DedupConfig(), checkpoint_dir=d)
+    res2 = pipe2.run(df2)
+    assert not any(m.reused for m in pipe2.ckpt.metrics)
+    assert res2.documents_hashed.count() == df2.count()

@@ -47,3 +47,58 @@ def test_ivf_deterministic(spark, emb):
     a = sorted(map(tuple, ivf_topk(emb, queries, k=3).collect()))
     b = sorted(map(tuple, ivf_topk(emb, queries, k=3).collect()))
     assert a == b
+
+
+def test_blocked_cosine_pairs_matches_brute_force(spark, emb):
+    """The distributed block-matrix form must be EXACT: same pair set
+    and same cosine_milli as a naive all-pairs computation."""
+    import numpy as np
+
+    from imageduplicatefinder_spark.operators.similarity import blocked_cosine_pairs
+
+    sub = emb.filter(F.col("vec_id") < 120)
+    got = {
+        (r.vec_a, r.vec_b): r.cosine_milli
+        for r in blocked_cosine_pairs(sub, threshold=0.8, n_blocks=4).collect()
+    }
+    rows = sub.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    cos = (mat @ mat.T) / np.outer(norms, norms)
+    want = {}
+    n = len(ids)
+    for i in range(n):
+        for j in range(n):
+            if ids[i] < ids[j] and cos[i, j] >= 0.8:
+                a, b = int(ids[i]), int(ids[j])
+                want[(a, b)] = int(np.floor(cos[i, j] * 1000))
+    assert got == want
+
+
+def test_blocked_cosine_pairs_no_cartesian_no_collect(spark, emb):
+    from imageduplicatefinder_spark.operators.similarity import blocked_cosine_pairs
+
+    plan = blocked_cosine_pairs(emb, threshold=0.95)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_blocked_cosine_zero_norm_excluded(spark):
+    rows = [(1, [0.0] * 4), (2, [0.0] * 4), (3, [1.0, 0.0, 0.0, 0.0]),
+            (4, [1.0, 0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from imageduplicatefinder_spark.operators.similarity import blocked_cosine_pairs
+
+    got = {(r.vec_a, r.vec_b) for r in
+           blocked_cosine_pairs(df, threshold=0.9, n_blocks=2).collect()}
+    assert got == {(3, 4)}  # zero vectors never pair
+
+
+def test_train_centroids_partitioning_invariant(spark, emb):
+    """Cluster-safe sampling: the centroid sample must not depend on
+    which partitions answer first (a bare limit().collect() does)."""
+    a = train_centroids(emb.repartition(7), nlist=8)
+    b = train_centroids(emb.repartition(3, "vec_id"), nlist=8)
+    assert (a == b).all()
