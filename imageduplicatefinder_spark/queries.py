@@ -841,25 +841,187 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.clusters.select("cluster_id", "repo", "path", "commit", "size")
 
 
-def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash 64-bit sketches + Hamming<=radius pairs (reference-parity
-    predicate, ref: hash/Hamming.java:4-6, BKTreeIndex.java:42-43)."""
-    from imageduplicatefinder_spark.functions.fingerprints import hamming_distance_col
-    from imageduplicatefinder_spark.operators.signatures import compute_signatures
-
-    cfg = DedupConfig()
-    sig = compute_signatures(
-        _docs_as_input_hint(spark, sf_dir), cfg, keep_shingles=False
-    ).select("doc_id", "simhash")
-    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
-    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("hamming", hamming_distance_col(F.col("sim_a"), F.col("sim_b")))
-        .filter(F.col("hamming") <= cfg.hamming_radius)
-        .select("doc_a", "doc_b", "hamming")
+def _portable_simhash(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 64-bit SimHash (majority bit over token
+    hashes, ref: hash/AHash.java:21-29 mean-threshold analog) defined
+    purely in engine-portable primitives — md5 hex nibbles + integer
+    shifts — so DuckDB computes the bit-identical value and the pair
+    query below gets a real value-hash oracle. The pipeline's internal
+    simhash (functions/fingerprints.py) uses a faster vectorized token
+    hash; this is the cross-engine-checkable formulation of the same
+    operator, fully JVM-side (no Python UDF).
+    """
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).select("doc_id", F.md5(F.col("tok")).alias("h"))
+    # parse each hex nibble ONCE per token (16 string ops instead of 64)
+    nibs = toks.select(
+        "doc_id",
+        *[
+            F.conv(F.substring(F.col("h"), p + 1, 1), 16, 10)
+            .cast("int")
+            .alias(f"nib{p}")
+            for p in range(16)
+        ],
     )
+    aggs = []
+    for j in range(64):
+        bit = F.shiftright(F.col(f"nib{j // 4}"), 3 - j % 4).bitwiseAND(F.lit(1))
+        aggs.append(F.sum(bit).alias(f"b{j}"))
+    sums = nibs.groupBy("doc_id").agg(F.count("*").alias("n"), *aggs)
+    sim = F.lit(0).cast("long")
+    for j in range(64):
+        bit = (F.col(f"b{j}") * 2 > F.col("n")).cast("long")
+        weight = -9223372036854775808 if j == 0 else (1 << (63 - j))
+        sim = sim + bit * F.lit(weight)
+    return sums.select("doc_id", sim.alias("simhash"))
+
+
+def _simhash_cte() -> str:
+    """DuckDB CTE computing the identical portable simhash."""
+    bit_sums = ",\n       ".join(
+        f"sum((((strpos('0123456789abcdef', substr(h, {j // 4 + 1}, 1)) - 1)"
+        f" >> {3 - j % 4}) & 1)) AS b{j}"
+        for j in range(64)
+    )
+    terms = "\n     + ".join(
+        (
+            f"CASE WHEN 2*b{j} > n THEN -9223372036854775807 - 1 ELSE 0 END"
+            if j == 0
+            else f"CASE WHEN 2*b{j} > n THEN {1 << (63 - j)} ELSE 0 END"
+        )
+        for j in range(64)
+    )
+    return f"""
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+hx AS (SELECT doc_id, md5(tok) AS h FROM toks),
+sums AS (SELECT doc_id, count(*) AS n,
+       {bit_sums}
+  FROM hx GROUP BY doc_id),
+sim AS (SELECT doc_id, ({terms}) AS simhash FROM sums)
+"""
+
+
+def q_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash 64-bit sketches + all pairs within Hamming radius 10
+    (reference-parity predicate, ref: hash/Hamming.java:4-6,
+    BKTreeIndex.java:42-43).
+
+    Scale path: pigeonhole bit-chunk LSH (operators/hamming_lsh.py) —
+    an equi-join on (chunk_id, chunk_value) over radius+1 disjoint bit
+    chunks is EXHAUSTIVE for hamming <= radius, so the result equals
+    the O(n^2) oracle below with no cartesian product in the plan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from imageduplicatefinder_spark.operators.hamming_lsh import hamming_pairs
+
+    sim = _portable_simhash(docs)
+    return hamming_pairs(sim, radius=10, id_col="doc_id",
+                         sketch_col="simhash")
+
+
+SQL_SIMHASH_HAMMING_PAIRS_TEMPLATE = """
+WITH {cte}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+"""
+
+SQL_SIMHASH_HAMMING_PAIRS = SQL_SIMHASH_HAMMING_PAIRS_TEMPLATE.format(
+    cte=_simhash_cte()
+)
+
+
+def q_near_dup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the EXACT n-gram Jaccard edge set
+    (>= 0.8): the SQL-oracle-checkable form of the clustering operator
+    (ref semantics: cluster/Clusterer.java:6-30 — BFS over the radius
+    graph; min-member cluster ids). The flagship ``near_dup_clusters``
+    runs the same CC over LSH-generated edges (probabilistic candidate
+    set -> rows-only check); this query pins the CC operator itself
+    against a DuckDB recursive-CTE fixpoint.
+    """
+    from imageduplicatefinder_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = q_ngram_jaccard_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comps = connected_components(edges)
+    sizes = comps.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
+    return comps.join(sizes, on="cluster_id").select(
+        "cluster_id", "doc_id", "n_members"
+    )
+
+
+SQL_NEAR_DUP_CLUSTERS_EXACT = f"""
+WITH RECURSIVE {_SHINGLE_CTE},
+edges AS (
+  SELECT doc_a, doc_b FROM pair_inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE floor(inter * 1000.0 / (sa.n + sb.n - inter)) >= 800
+),
+sym AS (SELECT doc_a AS a, doc_b AS b FROM edges
+        UNION ALL SELECT doc_b, doc_a FROM edges),
+reach(node, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym) t
+  UNION
+  SELECT reach.node, sym.b FROM reach JOIN sym ON reach.r = sym.a
+),
+labels AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+csz AS (SELECT cluster_id, count(*) AS n_members FROM labels GROUP BY cluster_id)
+SELECT l.cluster_id, l.doc_id, csz.n_members
+FROM labels l JOIN csz USING (cluster_id)
+"""
+
+
+def q_quarantine_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 quarantine-move analog with collision renaming
+    (ref: app/Commands.java:336-354 ``safeMove`` — a second file moved
+    to an occupied target gets a numeric suffix): DELETE rows of the
+    keeper plan get a quarantine target path; targets colliding within
+    a group get a deterministic ``_<k>`` suffix via row_number."""
+    plan = q_dedup_keeper_plan(spark, sf_dir).filter(F.col("action") == "DELETE")
+    base = F.concat(F.lit("quarantine/"), F.col("set_hash").substr(1, 8))
+    rn = F.row_number().over(
+        Window.partitionBy("set_hash").orderBy(F.asc("doc_id"))
+    )
+    return plan.select(
+        "doc_id",
+        "set_hash",
+        F.when(rn == 1, base)
+        .otherwise(F.concat(base, F.lit("_"), (rn - 1).cast("string")))
+        .alias("target"),
+    )
+
+
+SQL_QUARANTINE_PLAN = """
+WITH g AS (
+  SELECT doc_id, n_chars,
+         sha256(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' '))
+           AS set_hash
+  FROM documents
+), sized AS (
+  SELECT *, count(*) OVER (PARTITION BY set_hash) AS _n,
+         row_number() OVER (PARTITION BY set_hash
+                            ORDER BY n_chars DESC, doc_id) AS _rn
+  FROM g
+), del AS (
+  SELECT set_hash, doc_id FROM sized WHERE _n >= 2 AND _rn > 1
+), ranked AS (
+  SELECT set_hash, doc_id,
+         row_number() OVER (PARTITION BY set_hash ORDER BY doc_id) AS rn
+  FROM del
+)
+SELECT doc_id, set_hash,
+       CASE WHEN rn = 1 THEN 'quarantine/' || substr(set_hash, 1, 8)
+            ELSE 'quarantine/' || substr(set_hash, 1, 8) || '_'
+                 || CAST(rn - 1 AS VARCHAR) END AS target
+FROM ranked
+"""
 
 
 def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -923,6 +1085,8 @@ QUERIES: dict[str, QueryFn] = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "ngram_containment_pairs": q_ngram_containment_pairs,
     "dedup_keeper_plan": q_dedup_keeper_plan,
+    "quarantine_plan": q_quarantine_plan,
+    "near_dup_clusters_exact": q_near_dup_clusters_exact,
     # text analysis
     "token_stats": q_token_stats,
     "quality_scores": q_quality_scores,
@@ -945,10 +1109,11 @@ QUERIES: dict[str, QueryFn] = {
     "order_priority_pivot": q_order_priority_pivot,
     "repeat_customers_setops": q_repeat_customers_setops,
     "event_user_reach": q_event_user_reach,
+    # dedup via sketch + Hamming LSH (oracle: portable simhash in SQL)
+    "simhash_hamming_pairs": q_simhash_hamming_pairs,
     # Spark-only (rows-only driver check)
     "minhash_lsh_candidates": q_minhash_lsh_candidates,
     "near_dup_clusters": q_near_dup_clusters,
-    "simhash_hamming_pairs": q_simhash_hamming_pairs,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
     "ann_ivf_topk": q_ann_ivf_topk,
 }
@@ -960,6 +1125,9 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "ngram_containment_pairs": SQL_NGRAM_CONTAINMENT_PAIRS,
     "dedup_keeper_plan": SQL_DEDUP_KEEPER_PLAN,
+    "quarantine_plan": SQL_QUARANTINE_PLAN,
+    "near_dup_clusters_exact": SQL_NEAR_DUP_CLUSTERS_EXACT,
+    "simhash_hamming_pairs": SQL_SIMHASH_HAMMING_PAIRS,
     "token_stats": SQL_TOKEN_STATS,
     "quality_scores": SQL_QUALITY_SCORES,
     "lang_id_heuristic": SQL_LANG_ID_HEURISTIC,

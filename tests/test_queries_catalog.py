@@ -42,7 +42,6 @@ def test_registry_consistency():
     assert spark_only == {
         "minhash_lsh_candidates",
         "near_dup_clusters",
-        "simhash_hamming_pairs",
         "ann_lsh_bucketed",
         "ann_ivf_topk",
     }
