@@ -96,6 +96,8 @@ def main() -> None:
         "user_sessions",
         "ann_cosine_topk",
         "embedding_near_dup_pairs",
+        "simhash_hamming_pairs",
+        "near_dup_clusters_exact",
     ):
         timed(q, lambda q=q: QUERIES[q](spark, sf_dir).count())
 

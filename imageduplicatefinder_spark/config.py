@@ -44,6 +44,14 @@ class DedupConfig:
     lsh_bands: int = 64
     lsh_rows: int = 2
 
+    # --- 64-bit sketch family dispatch ------------------------------
+    # The --algo analog (ref: app/Commands.java:58-67 — ahash/dhash/
+    # phash all emit one long). "simhash" = multiset-majority bits
+    # (aHash/pHash analog); "gradsign" = gradient sign between
+    # positional resamples of the token-hash sequence (dHash analog,
+    # ref: hash/DHash.java:21-29). Fills the `simhash` sketch slot.
+    sketch: str = "simhash"
+
     # --- verification ---------------------------------------------
     simhash_bits: int = 64
     hamming_radius: int = 10      # ref Commands.java:120 (CLI default)
@@ -77,6 +85,8 @@ class DedupConfig:
             )
         if self.tokenizer not in ("word", "char"):
             raise ValueError(f"unknown tokenizer {self.tokenizer!r}")
+        if self.sketch not in ("simhash", "gradsign"):
+            raise ValueError(f"unknown sketch family {self.sketch!r}")
 
     # identical config => identical hash => checkpoint reuse is safe
     def config_hash(self) -> str:

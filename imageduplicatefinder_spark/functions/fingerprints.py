@@ -139,6 +139,25 @@ def simhash_numpy(token_hashes: np.ndarray) -> np.int64:
     return np.packbits(out_bits).view(np.uint64)[0].astype(np.int64)
 
 
+def gradsign_numpy(token_hashes: np.ndarray) -> np.int64:
+    """64-bit gradient-sign sketch of one doc's token-hash SEQUENCE —
+    the dHash analog (ref: src/main/java/hash/DHash.java:21-29: resize
+    to 9x8 pixels, bit = right pixel brighter than left). Here the
+    token-hash sequence is nearest-neighbor "resized" to 65 samples
+    (sample j = hash at position floor(j*n/65)) and bit j is the
+    gradient sign between adjacent samples. Order-sensitive (unlike
+    SimHash's multiset majority — a genuinely second family, H2), and
+    stable under local edits because resampling is positional.
+    Empty doc -> 0, matching the black-image golden."""
+    n = token_hashes.size
+    if n == 0:
+        return np.int64(0)
+    idx = (np.arange(65, dtype=np.int64) * n) // 65
+    vals = token_hashes[idx]
+    bits = (vals[1:] > vals[:-1]).astype(np.uint8)
+    return np.packbits(bits).view(np.uint64)[0].astype(np.int64)
+
+
 _SLAB_ELEMS = 1 << 20  # ~8 MB of uint64 per permutation-slab column block
 
 
@@ -158,11 +177,27 @@ def _fingerprint_batch(
     row_of = np.repeat(np.arange(n_rows), counts)
     row_starts = np.concatenate([[0], np.cumsum(counts)])
 
-    # --- simhash: unpack bits once, segment-sum per row ------------------
+    # --- 64-bit sketch slot: family dispatched by cfg.sketch -------------
+    # (the --algo analog, ref: app/Commands.java:58-67; column name stays
+    # `simhash` — it is THE sketch slot, like the reference's one
+    # ``long hash(img)`` regardless of hasher)
     simhashes = np.zeros(n_rows, dtype=np.int64)
-    if flat_h.size:
+    nonempty = counts > 0
+    if flat_h.size and cfg.sketch == "gradsign":
+        # gradient-sign family (dHash analog): nearest-neighbor resample
+        # each row's hash sequence to 65 samples, compare neighbors —
+        # one fancy-index gather for the whole batch
+        ar = np.arange(65, dtype=np.int64)
+        idx = (ar[None, :] * counts[nonempty, None]) // 65 \
+            + row_starts[:-1][nonempty, None]
+        vals = flat_h[idx]
+        gbits = (vals[:, 1:] > vals[:, :-1]).astype(np.uint8)
+        simhashes[nonempty] = (
+            np.packbits(gbits, axis=1).view(np.uint64).ravel().view(np.int64)
+        )
+    elif flat_h.size:
+        # SimHash family: unpack bits once, segment-sum per row
         bits = np.unpackbits(flat_h.view(np.uint8).reshape(-1, 8), axis=1)
-        nonempty = counts > 0
         seg = row_starts[:-1][nonempty]
         bitsums = np.add.reduceat(bits, seg, axis=0)
         # reduceat merges segments of empty rows; nonempty mask gives the

@@ -29,7 +29,15 @@ def add_doc_id(df: DataFrame) -> DataFrame:
 
     The reference keys rows by filesystem path string
     (ref: app/Commands.java:70); a fixed-width key shuffles cheaper and
-    gives the min-label CC deterministic cluster ids.
+    gives the min-label CC deterministic cluster ids. doc_id is an
+    OPTIMIZATION-ONLY shuffle key: the natural key rides along in every
+    table, and the pipeline fail-fasts if two distinct natural keys
+    collide in 64 bits (plans/pipeline.py — one count-distinct agg over
+    the already-materialized hash table). Birthday bound: at n rows the
+    expected collisions are ~n^2/2^65 (~3e4 at the 10^12-row design
+    point, ~0 below 10^9 rows), so the check matters at full scale; a
+    collision aborts the run rather than silently merging unrelated
+    documents into one cluster/DELETE decision.
     """
     return df.withColumn("doc_id", F.xxhash64("repo", "path", "commit"))
 

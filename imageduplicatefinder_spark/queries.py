@@ -56,15 +56,32 @@ def _shingles_expr(w: Column) -> Column:
     )
 
 
-_SHINGLE_CTE = """
+# document-frequency cap: shingles present in more than this many docs
+# are dropped BEFORE the equi-join on the shingle. A common 3-gram
+# ("the end of"-style boilerplate) is a mega-key whose join output is
+# O(df^2); dup families are small, so family-linking shingles have low
+# df and survive. The cap is part of the operator's SEMANTICS (applied
+# identically in Spark and the DuckDB oracle), mirroring the salted
+# band cap of the LSH path (operators/lsh.py capped_bands).
+_SHINGLE_DF_CAP = 32
+
+_SHINGLE_CTE = f"""
 words AS (
   SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents
 ),
-shingles AS (
+shingles_all AS (
   SELECT doc_id, unnest(list_distinct(list_transform(
     generate_series(1, greatest(len(w) - 2, 1)),
     i -> coalesce(w[i], '') || ' ' || coalesce(w[i+1], '') || ' ' || coalesce(w[i+2], '')
   ))) AS shingle FROM words
+),
+hot AS (
+  SELECT shingle FROM shingles_all GROUP BY shingle
+  HAVING count(*) > {_SHINGLE_DF_CAP}
+),
+shingles AS (
+  SELECT * FROM shingles_all
+  WHERE shingle NOT IN (SELECT shingle FROM hot)
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
 pair_inter AS (
@@ -79,13 +96,29 @@ def _shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b, inter, n_a, n_b) over distinct word-3-gram shingles.
 
     The SQL-expressible candidate generator (SURVEY §2.4 J2 analog):
-    equi-join on the shingle itself instead of an LSH band — exact, and
-    fine at oracle scale; the LSH path is the at-scale variant.
+    equi-join on the shingle itself instead of an LSH band — exact over
+    the DF-capped shingle space, fine at oracle scale; the LSH path is
+    the at-scale variant.
+
+    Skew handling: shingles with document frequency > _SHINGLE_DF_CAP
+    are dropped via a broadcast anti-join against the (tiny) hot set —
+    without it a boilerplate 3-gram is a mega-key whose self-join emits
+    O(df^2) rows on one shuffle key. The shingle table is
+    lazily localCheckpoint-ed: sizes, the hot-set agg, and both join
+    sides reuse one materialization instead of re-running the explode.
     """
     docs = load_table(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id", F.explode(_shingles_expr(_words())).alias("shingle")
+    ).localCheckpoint(eager=False)
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > _SHINGLE_DF_CAP)
+        .select("shingle")
     )
+    sh = sh.join(F.broadcast(hot), on="shingle", how="left_anti")
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         sh.alias("a")
@@ -1024,6 +1057,26 @@ FROM ranked
 """
 
 
+def q_gradsign_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second 64-bit sketch family (SURVEY H2, the dHash analog:
+    gradient sign between positional resamples of the token-hash
+    sequence, ref: hash/DHash.java:21-29) dispatched via
+    ``DedupConfig(sketch="gradsign")`` (H4 --algo analog) through the
+    SAME bit-chunk Hamming LSH radius search as the SimHash family.
+    Spark-only: the sketch uses the engine's vectorized token hash,
+    which has no SQL analog (rows-only driver check; the family kernel
+    is golden-tested in tests/test_fingerprints.py)."""
+    from imageduplicatefinder_spark.operators.hamming_lsh import hamming_pairs
+    from imageduplicatefinder_spark.operators.signatures import compute_signatures
+
+    cfg = DedupConfig(sketch="gradsign")
+    sig = compute_signatures(
+        _docs_as_input_hint(spark, sf_dir), cfg, keep_shingles=False
+    ).select("doc_id", "simhash")
+    return hamming_pairs(sig, radius=cfg.hamming_radius, id_col="doc_id",
+                         sketch_col="simhash")
+
+
 def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path ANN: random-hyperplane LSH buckets + in-bucket cosine
     top-k. Approximate — pairs only form within a bucket, so the
@@ -1114,6 +1167,7 @@ QUERIES: dict[str, QueryFn] = {
     # Spark-only (rows-only driver check)
     "minhash_lsh_candidates": q_minhash_lsh_candidates,
     "near_dup_clusters": q_near_dup_clusters,
+    "gradsign_hamming_pairs": q_gradsign_hamming_pairs,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
     "ann_ivf_topk": q_ann_ivf_topk,
 }

@@ -60,3 +60,42 @@ def test_batch_matches_single_row_fixed():
 )
 def test_batch_matches_single_row_hypothesis(contents):
     _check(contents)
+
+
+GRAD_CFG = DedupConfig(sketch="gradsign")
+
+
+def _check_gradsign(contents: list[str]) -> None:
+    from imageduplicatefinder_spark.functions.fingerprints import gradsign_numpy
+
+    batch = _fingerprint_batch(pd.Series(contents), GRAD_CFG, KEYS)
+    toks = tokenize_series(pd.Series(contents), GRAD_CFG.tokenizer)
+    for i, tokens in enumerate(toks):
+        assert batch["simhash"][i] == int(gradsign_numpy(_token_hashes(tokens))), (
+            f"row {i} gradsign"
+        )
+
+
+def test_gradsign_batch_matches_single_row_fixed():
+    _check_gradsign(
+        [
+            "the quick brown fox jumps over the lazy dog",
+            "",
+            "one",
+            "a a a a a a",
+            "x " * 200,
+            "alpha beta gamma delta epsilon zeta eta theta " * 4,
+        ]
+    )
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="ab cd\n\tXY_9", min_size=0, max_size=120),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_gradsign_batch_matches_single_row_hypothesis(contents):
+    _check_gradsign(contents)

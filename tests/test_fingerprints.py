@@ -125,3 +125,65 @@ def test_hamming_distance_col_jvm(spark):
     )
     got = [r[0] for r in df.select(hamming_distance_col(F.col("a"), F.col("b"))).collect()]
     assert got == [0, 64, 3, 1]
+
+
+# --- gradient-sign family (H2 dHash analog) ----------------------------------
+
+
+def test_gradsign_empty_and_single_are_zero():
+    from imageduplicatefinder_spark.functions.fingerprints import gradsign_numpy
+
+    # empty doc -> 0 (black-image golden analog); a single token has no
+    # gradient, so it is 0 too
+    assert gradsign_numpy(np.empty(0, dtype=np.uint64)) == np.int64(0)
+    h = pd.util.hash_array(np.asarray(["tok"], dtype=object))
+    assert gradsign_numpy(h) == np.int64(0)
+
+
+def test_gradsign_deterministic_and_order_sensitive():
+    from imageduplicatefinder_spark.functions.fingerprints import gradsign_numpy
+
+    a = pd.util.hash_array(np.asarray(list("abcdefghij"), dtype=object))
+    assert gradsign_numpy(a) == gradsign_numpy(a.copy())
+    # unlike SimHash (multiset majority), the gradient family sees order
+    rev = a[::-1].copy()
+    assert gradsign_numpy(a) != gradsign_numpy(rev)
+
+
+def test_gradsign_differs_from_simhash_family():
+    from imageduplicatefinder_spark.functions.fingerprints import gradsign_numpy
+
+    h = pd.util.hash_array(np.asarray(list("abcdefghijklmnop"), dtype=object))
+    assert gradsign_numpy(h) != simhash_numpy(h)
+
+
+def test_gradsign_stable_under_inplace_edits():
+    """Locality property of the positional-resampling family: editing a
+    few tokens IN PLACE flips few bits, because only samples landing on
+    an edited position change (65 samples over 500 tokens touch ~13% of
+    positions). Length-changing edits shift every sample index and are
+    NOT small-distance — same behavior class as dHash, which absorbs
+    pixel edits but not reframing."""
+    from imageduplicatefinder_spark.functions.fingerprints import gradsign_numpy
+
+    base = pd.util.hash_array(
+        np.asarray([f"tok{i}" for i in range(500)], dtype=object)
+    )
+    edited = base.copy()
+    for pos in (50, 250, 450):
+        edited[pos] = pd.util.hash_array(
+            np.asarray([f"edit{pos}", ], dtype=object)
+        )[0]
+    d = bin(
+        (int(gradsign_numpy(base)) & 0xFFFFFFFFFFFFFFFF)
+        ^ (int(gradsign_numpy(edited)) & 0xFFFFFFFFFFFFFFFF)
+    ).count("1")
+    assert d <= 12, d
+
+
+def test_sketch_dispatch_validation():
+    from imageduplicatefinder_spark.config import DedupConfig
+
+    with pytest.raises(ValueError, match="sketch"):
+        DedupConfig(sketch="phash_dct")
+    assert DedupConfig(sketch="gradsign").config_hash() != DedupConfig().config_hash()

@@ -42,6 +42,7 @@ def test_registry_consistency():
     assert spark_only == {
         "minhash_lsh_candidates",
         "near_dup_clusters",
+        "gradsign_hamming_pairs",
         "ann_lsh_bucketed",
         "ann_ivf_topk",
     }
