@@ -1077,18 +1077,23 @@ def q_gradsign_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                          sketch_col="simhash")
 
 
+def _ann_planes() -> list[list[float]]:
+    """The 8 random hyperplanes (seeded, deterministic) shared by the
+    Spark query and its DuckDB oracle — the planes are CONSTANTS of the
+    operator, so the whole bucketed ANN is SQL-expressible by inlining
+    them as literals."""
+    import numpy as np
+
+    return np.random.default_rng(42).standard_normal((8, 64)).tolist()
+
+
 def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path ANN: random-hyperplane LSH buckets + in-bucket cosine
     top-k. Approximate — pairs only form within a bucket, so the
     all-pairs shuffle never happens (at 100 TB the brute-force cross
     join is infeasible; this is the honest scalable variant)."""
-    import numpy as np
-
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = 64
-    n_planes = 8
-    rng = np.random.default_rng(42)
-    planes = rng.standard_normal((n_planes, dim)).tolist()
+    planes = _ann_planes()
     sig_bits = [
         F.when(
             _dot(F.col("embedding"), F.array(*[F.lit(v) for v in p])) >= 0, 1
@@ -1113,6 +1118,44 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "rank", F.col("vec_b").alias("neighbor_id"),
                 F.floor(F.col("cos") * 1000).cast("long").alias("cosine_milli"))
     )
+
+
+def _ann_lsh_bucketed_sql() -> str:
+    """DuckDB oracle for the bucketed ANN: the same 8 hyperplanes
+    inlined as literal arrays (repr round-trips doubles exactly), the
+    same sign-bit bucket id, the same in-bucket ranking."""
+    planes = _ann_planes()
+    bits = " + ".join(
+        "CASE WHEN list_sum(list_transform(generate_series(1, 64), "
+        f"i -> embedding[i]::DOUBLE * ([{', '.join(repr(v) for v in p)}])[i]"
+        f")) >= 0 THEN {1 << i} ELSE 0 END"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, ({bits}) AS bucket FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, x.vec_id AS vec_b,
+         list_sum(list_transform(generate_series(1, len(a.embedding)),
+            i -> a.embedding[i]::DOUBLE * x.embedding[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(a.embedding, v -> v::DOUBLE * v::DOUBLE)))
+          * sqrt(list_sum(list_transform(x.embedding, v -> v::DOUBLE * v::DOUBLE))))
+           AS cos
+  FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id
+),
+ranked AS (
+  SELECT vec_a, vec_b, cos,
+         row_number() OVER (PARTITION BY vec_a ORDER BY cos DESC, vec_b) AS rank
+  FROM pairs
+)
+SELECT vec_a, rank, vec_b AS neighbor_id,
+       CAST(floor(cos * 1000) AS BIGINT) AS cosine_milli
+FROM ranked WHERE rank <= 5
+"""
+
+
+SQL_ANN_LSH_BUCKETED = _ann_lsh_bucketed_sql()
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1182,6 +1225,7 @@ ORACLES: dict[str, str] = {
     "quarantine_plan": SQL_QUARANTINE_PLAN,
     "near_dup_clusters_exact": SQL_NEAR_DUP_CLUSTERS_EXACT,
     "simhash_hamming_pairs": SQL_SIMHASH_HAMMING_PAIRS,
+    "ann_lsh_bucketed": SQL_ANN_LSH_BUCKETED,
     "token_stats": SQL_TOKEN_STATS,
     "quality_scores": SQL_QUALITY_SCORES,
     "lang_id_heuristic": SQL_LANG_ID_HEURISTIC,

@@ -43,6 +43,5 @@ def test_registry_consistency():
         "minhash_lsh_candidates",
         "near_dup_clusters",
         "gradsign_hamming_pairs",
-        "ann_lsh_bucketed",
         "ann_ivf_topk",
     }
