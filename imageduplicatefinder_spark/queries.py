@@ -92,6 +92,31 @@ pair_inter AS (
 """
 
 
+def _capped_shingle_table(docs: DataFrame, checkpoint: bool = True) -> DataFrame:
+    """(doc_id, shingle) with the document-frequency cap applied: the
+    hot set (df > _SHINGLE_DF_CAP — tiny, boilerplate) is removed via a
+    BROADCAST anti-join, so no mega-key ever reaches the shingle
+    self-join. ``checkpoint=False`` keeps the lineage visible for plan
+    assertions; the default lazily materializes twice (pre-cap, so the
+    explode runs once for the hot-agg and the anti-join; post-cap, so
+    sizes and both self-join sides reuse one result)."""
+    sh = docs.select(
+        "doc_id", F.explode(_shingles_expr(_words())).alias("shingle")
+    )
+    if checkpoint:
+        sh = sh.localCheckpoint(eager=False)
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > _SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    sh = sh.join(F.broadcast(hot), on="shingle", how="left_anti")
+    if checkpoint:
+        sh = sh.localCheckpoint(eager=False)
+    return sh
+
+
 def _shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b, inter, n_a, n_b) over distinct word-3-gram shingles.
 
@@ -107,18 +132,7 @@ def _shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     lazily localCheckpoint-ed: sizes, the hot-set agg, and both join
     sides reuse one materialization instead of re-running the explode.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", F.explode(_shingles_expr(_words())).alias("shingle")
-    ).localCheckpoint(eager=False)
-    hot = (
-        sh.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > _SHINGLE_DF_CAP)
-        .select("shingle")
-    )
-    sh = sh.join(F.broadcast(hot), on="shingle", how="left_anti")
-    sh = sh.localCheckpoint(eager=False)
+    sh = _capped_shingle_table(load_table(spark, sf_dir, "documents"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         sh.alias("a")
