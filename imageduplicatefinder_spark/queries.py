@@ -424,6 +424,87 @@ FROM documents
 """
 
 
+_WINNOW_W = 4  # winnowing window (consecutive k-gram hashes per window)
+
+
+def _hex8_to_long_spark(hexcol: Column) -> Column:
+    """First 8 hex chars of a digest as a BIGINT (< 2^32, sign-safe)."""
+    return F.conv(F.substring(hexcol, 1, 8), 16, 10).cast("long")
+
+
+def _hex8_to_long_sql(expr: str) -> str:
+    """DuckDB equivalent of _hex8_to_long_spark (no conv() in DuckDB:
+    positional nibble expansion, generated)."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({expr}, {p + 1}, 1)) - 1)"
+        f" * {16 ** (7 - p)}"
+        for p in range(8)
+    )
+    return f"({terms})"
+
+
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS scheme): hash every ORDERED word-3-gram, slide a window of
+    _WINNOW_W consecutive gram hashes, keep each window's minimum, emit the
+    distinct selected hashes per doc. Guarantees every shared substring
+    of >= w+k-1 tokens contributes a shared fingerprint — the
+    position-robust fingerprinting primitive (SURVEY text-analysis
+    surface; complements the rolling ``doc_fingerprint``).
+
+    Pure Catalyst array expressions (sequence/transform/slice/
+    array_min) — no shuffle at all except the final explode; the gram
+    hash is md5-based so the DuckDB oracle computes identical values.
+    """
+    w = _words()
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - F.lit(2), F.lit(1))),
+        lambda i: F.concat(
+            F.coalesce(F.get(w, i - 1), F.lit("")),
+            F.lit(" "),
+            F.coalesce(F.get(w, i), F.lit("")),
+            F.lit(" "),
+            F.coalesce(F.get(w, i + 1), F.lit("")),
+        ),
+    )
+    h = F.transform(grams, lambda g: _hex8_to_long_spark(F.md5(g)))
+    mins = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.size(h) - F.lit(_WINNOW_W - 1), F.lit(1))
+        ),
+        lambda i: F.array_min(F.slice(h, i, _WINNOW_W)),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(mins)).alias("fingerprint")
+    )
+
+
+SQL_WINNOWING_FINGERPRINTS = f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, list_transform(
+    generate_series(1, greatest(len(w) - 2, 1)),
+    i -> coalesce(w[i], '') || ' ' || coalesce(w[i+1], '') || ' ' || coalesce(w[i+2], '')
+  ) AS g FROM words
+),
+hashes AS (
+  SELECT doc_id,
+         list_transform(g, x -> {_hex8_to_long_sql("md5(x)")}) AS h
+  FROM grams
+),
+mins AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, greatest(len(h) - {_WINNOW_W - 1}, 1)),
+    i -> list_min(h[i:i+{_WINNOW_W - 1}])
+  )) AS fps FROM hashes
+)
+SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fingerprint FROM mins
+"""
+
+
 _BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
 
@@ -1202,6 +1283,7 @@ QUERIES: dict[str, QueryFn] = {
     "quality_scores": q_quality_scores,
     "lang_id_heuristic": q_lang_id_heuristic,
     "doc_fingerprint": q_doc_fingerprint,
+    "winnowing_fingerprints": q_winnowing_fingerprints,
     "lang_file_counts": q_lang_file_counts,
     "bpe_token_counts": q_bpe_token_counts,
     # embeddings / similarity search
@@ -1244,6 +1326,7 @@ ORACLES: dict[str, str] = {
     "quality_scores": SQL_QUALITY_SCORES,
     "lang_id_heuristic": SQL_LANG_ID_HEURISTIC,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "winnowing_fingerprints": SQL_WINNOWING_FINGERPRINTS,
     "lang_file_counts": SQL_LANG_FILE_COUNTS,
     "bpe_token_counts": SQL_BPE_TOKEN_COUNTS,
     "embedding_norms": SQL_EMBEDDING_NORMS,

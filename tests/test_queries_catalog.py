@@ -45,3 +45,27 @@ def test_registry_consistency():
         "gradsign_hamming_pairs",
         "ann_ivf_topk",
     }
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Winnowing property: two docs sharing a long-enough token run
+    must share at least one fingerprint (w+k-1 tokens guarantee)."""
+    from imageduplicatefinder_spark.queries import q_winnowing_fingerprints
+
+    rows = [
+        (1, "aa bb cc dd ee ff gg hh ii jj kk", 10, "en", "s"),
+        (2, "xx yy aa bb cc dd ee ff gg hh zz", 10, "en", "s"),
+        (3, "mm nn oo pp qq rr ss tt uu vv ww", 10, "en", "s"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, n_chars long, lang string, source string"
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    fps = q_winnowing_fingerprints(spark, d).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc[1] & by_doc[2], "shared 8-token run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3])
