@@ -63,3 +63,45 @@ def keeper_plan(clusters: DataFrame) -> DataFrame:
         )
         .select("cluster_id", "action", "repo", "path", "commit", "size", "reason")
     )
+
+
+def apply_plan_overrides(plan: DataFrame, overrides: DataFrame) -> DataFrame:
+    """Plan edit round-trip, the data path of the reference's
+    interactive plan editor (ref: app/WebServer.java:332-394 — the UI
+    POSTs per-row action toggles back before apply; SURVEY O4): join
+    user overrides (repo, path, commit, action) onto the decision table
+    and take the override where present.
+
+    Safety rule enforced by the editor (and re-enforced here): a
+    cluster must keep at least one member — if overrides mark every
+    member of a cluster DELETE, the reference tiebreak keeper of that
+    cluster is flipped back to KEEP with reason 'override rejected:
+    cluster needs a keeper'.
+    """
+    ov = overrides.select(
+        "repo", "path", "commit", F.col("action").alias("_ov_action")
+    )
+    merged = plan.join(ov, on=["repo", "path", "commit"], how="left").withColumn(
+        "action_eff", F.coalesce("_ov_action", "action")
+    )
+    w = Window.partitionBy("cluster_id")
+    keeps = F.sum((F.col("action_eff") == "KEEP").cast("int")).over(w)
+    # fallback keeper = the reference-tiebreak winner (original KEEP row)
+    needs_fix = (keeps == 0) & (F.col("action") == "KEEP")
+    return (
+        merged.withColumn("_keeps", keeps)
+        .select(
+            "cluster_id",
+            F.when(needs_fix, F.lit("KEEP"))
+            .otherwise(F.col("action_eff"))
+            .alias("action"),
+            "repo",
+            "path",
+            "commit",
+            "size",
+            F.when(needs_fix, F.lit("override rejected: cluster needs a keeper"))
+            .when(F.col("_ov_action").isNotNull(), F.lit("user override"))
+            .otherwise(F.col("reason"))
+            .alias("reason"),
+        )
+    )

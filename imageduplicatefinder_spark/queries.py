@@ -1253,6 +1253,30 @@ FROM ranked WHERE rank <= 5
 SQL_ANN_LSH_BUCKETED = _ann_lsh_bucketed_sql()
 
 
+def q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal dedup end-to-end: documents' bytes treated as opaque
+    media payloads -> feature extraction (stubbed decode, real Arrow
+    plumbing) -> pHash-DCT 64-bit sketch (ref: hash/PHashDct.java:13-57)
+    -> Hamming-radius pairs via the generic bit-chunk LSH. Spark-only:
+    the decode stub and DCT have no SQL analog (rows-only check; the
+    DCT kernel is golden-tested in tests/test_multimodal_streaming.py).
+    """
+    from imageduplicatefinder_spark.operators.hamming_lsh import hamming_pairs
+    from imageduplicatefinder_spark.operators.multimodal import (
+        extract_features,
+        phash64,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("id"),
+        F.lit("text").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("data"),
+    )
+    sketches = phash64(extract_features(media, decode="fake"))
+    return hamming_pairs(sketches, radius=2, id_col="id", sketch_col="phash")
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (coarse quantizer + nprobe inverted lists) —
     the third similarity-search tier alongside brute force (oracle) and
@@ -1307,6 +1331,7 @@ QUERIES: dict[str, QueryFn] = {
     "minhash_lsh_candidates": q_minhash_lsh_candidates,
     "near_dup_clusters": q_near_dup_clusters,
     "gradsign_hamming_pairs": q_gradsign_hamming_pairs,
+    "media_phash_pairs": q_media_phash_pairs,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
     "ann_ivf_topk": q_ann_ivf_topk,
 }

@@ -135,3 +135,50 @@ def test_stateful_dup_tracker(spark, tmp_path):
     # 'same content' arrived twice: first a.py, one duplicate counted
     assert out["a.py"].dup_count == 1
     assert out["c.py"].dup_count == 0
+
+
+# --- pHash-DCT ----------------------------------------------------------------
+
+
+def test_phash_constant_block_goldens(spark):
+    """All-zero block -> 0 (ref black-image golden, src/test/java/hash/
+    PHashDctTest.java:49-60); constant non-zero block -> only the DC
+    coefficient survives -> bit 0 only (LSB-first packing, ref
+    PHashDct.java:51-56)."""
+    from imageduplicatefinder_spark.operators.multimodal import phash64
+
+    feats = spark.createDataFrame(
+        [(1, [5.0] * 64), (2, [0.0] * 64)], "id long, feature array<float>"
+    )
+    got = {r.id: r.phash for r in phash64(feats).collect()}
+    assert got == {1: 1, 2: 0}
+
+
+def test_phash_deterministic_and_pads_short_features(spark, media):
+    from imageduplicatefinder_spark.operators.multimodal import (
+        extract_features,
+        phash64,
+    )
+
+    feats = extract_features(media, decode="fake")  # FEATURE_DIM=32, padded
+    a = {r.id: r.phash for r in phash64(feats).collect()}
+    b = {r.id: r.phash for r in phash64(feats).collect()}
+    assert a == b
+    assert a[1] == a[2]          # identical bytes -> identical sketch
+    assert a[1] != a[3]          # different bytes -> different sketch
+
+
+def test_phash_pairs_via_hamming_lsh(spark, media):
+    from imageduplicatefinder_spark.operators.hamming_lsh import hamming_pairs
+    from imageduplicatefinder_spark.operators.multimodal import (
+        extract_features,
+        phash64,
+    )
+
+    sketches = phash64(extract_features(media, decode="fake"))
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in hamming_pairs(sketches, radius=0, id_col="id",
+                               sketch_col="phash").collect()
+    }
+    assert (1, 2) in pairs  # exact-dup media collide at radius 0

@@ -50,3 +50,53 @@ def test_clusters_table_drops_singletons(spark):
     )
     out = clusters_table(comps, sigs)
     assert {r.doc_id for r in out.collect()} == {1, 2}  # singleton 3 dropped
+
+
+def test_apply_plan_overrides_roundtrip(spark):
+    """O4 plan edit round-trip (ref: app/WebServer.java:332-394): user
+    overrides replace actions; a cluster left with zero keepers gets
+    its tiebreak keeper flipped back."""
+    from imageduplicatefinder_spark.operators.plan import apply_plan_overrides
+
+    rows = [
+        (100, 1, "r", "b.py", "c1", 50),
+        (100, 2, "r", "a.py", "c2", 90),
+        (200, 4, "r", "x.py", "c4", 10),
+        (200, 5, "r", "y.py", "c5", 10),
+    ]
+    clusters = spark.createDataFrame(
+        rows, "cluster_id long, doc_id long, repo string, path string, "
+              "commit string, size long"
+    )
+    plan = keeper_plan(clusters)
+    overrides = spark.createDataFrame(
+        [
+            ("r", "b.py", "c1", "KEEP"),    # keep BOTH members of 100
+            ("r", "x.py", "c4", "DELETE"),  # would leave 200 keeper-less
+        ],
+        "repo string, path string, commit string, action string",
+    )
+    out = {r.path: r for r in apply_plan_overrides(plan, overrides).collect()}
+    assert out["b.py"].action == "KEEP" and out["b.py"].reason == "user override"
+    assert out["a.py"].action == "KEEP"              # untouched original keeper
+    # cluster 200: override deleted the keeper; safety rule restores it
+    assert out["x.py"].action == "KEEP"
+    assert "cluster needs a keeper" in out["x.py"].reason
+    assert out["y.py"].action == "DELETE"
+
+
+def test_apply_plan_overrides_noop_without_overrides(spark):
+    from imageduplicatefinder_spark.operators.plan import apply_plan_overrides
+
+    clusters = spark.createDataFrame(
+        [(1, 1, "r", "a.py", "c", 5), (1, 2, "r", "b.py", "c", 4)],
+        "cluster_id long, doc_id long, repo string, path string, "
+        "commit string, size long",
+    )
+    plan = keeper_plan(clusters)
+    empty = spark.createDataFrame(
+        [], "repo string, path string, commit string, action string"
+    )
+    got = sorted(map(tuple, apply_plan_overrides(plan, empty).collect()))
+    want = sorted(map(tuple, plan.collect()))
+    assert got == want

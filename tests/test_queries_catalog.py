@@ -43,6 +43,7 @@ def test_registry_consistency():
         "minhash_lsh_candidates",
         "near_dup_clusters",
         "gradsign_hamming_pairs",
+        "media_phash_pairs",
         "ann_ivf_topk",
     }
 
