@@ -78,6 +78,71 @@ def ingest_window_stats(
     )
 
 
+def incremental_dedup(
+    documents_stream: DataFrame,
+    history_signatures: DataFrame,
+    cfg,
+    edges_out: str,
+    checkpoint_dir: str,
+):
+    """Continuous near-dup detection of NEW documents against an
+    existing corpus — the streaming form of the batch pipeline's
+    candidate/verify stages, via ``foreachBatch``:
+
+    each micro-batch is fingerprinted (same Arrow UDF as the batch
+    path), banded, and its bands equi-joined against the UNION of the
+    historical band table and the batch's own bands — so a new doc
+    pairs both with history and with other docs in the same batch.
+    Candidates are verified with the standard Jaccard/containment rule
+    and verified edges are APPENDED to ``edges_out`` (parquet), ready
+    for a periodic connected-components pass.
+
+    The historical band table is computed once (not per batch); at
+    scale it would be the checkpointed ``bands`` stage of the last
+    batch run. Returns the started StreamingQuery's writer (call
+    ``.start()``-equivalent semantics: this function starts it).
+    """
+    from pyspark.sql import functions as SF
+
+    from imageduplicatefinder_spark.operators.lsh import band_table
+    from imageduplicatefinder_spark.operators.signatures import compute_signatures
+    from imageduplicatefinder_spark.operators.verify import verify_pairs
+
+    hist_bands = band_table(history_signatures, cfg).localCheckpoint(eager=False)
+    hist_sigs = history_signatures
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sigs = compute_signatures(
+            batch_df.select("repo", "path", "commit", "lang", "content"), cfg
+        ).localCheckpoint(eager=True)
+        new_bands = band_table(sigs, cfg)
+        all_bands = hist_bands.unionByName(new_bands)
+        cands = (
+            new_bands.withColumnRenamed("doc_id", "new_id")
+            .join(all_bands, on=["band_id", "band_hash"])
+            .filter(SF.col("new_id") != SF.col("doc_id"))
+            .select(
+                SF.least("new_id", "doc_id").alias("src"),
+                SF.greatest("new_id", "doc_id").alias("dst"),
+            )
+            .distinct()
+        )
+        combined = hist_sigs.unionByName(sigs, allowMissingColumns=True)
+        edges = verify_pairs(cands, combined, cfg).filter(SF.col("verified"))
+        edges.withColumn("batch_id", SF.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(edges_out)
+
+    return (
+        documents_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 DUP_STATE_OUTPUT = (
     "sha256 string, first_path string, first_ts timestamp, dup_count long"
 )

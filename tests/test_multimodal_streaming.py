@@ -182,3 +182,56 @@ def test_phash_pairs_via_hamming_lsh(spark, media):
                                sketch_col="phash").collect()
     }
     assert (1, 2) in pairs  # exact-dup media collide at radius 0
+
+
+def test_incremental_dedup_against_history(spark, tmp_path):
+    """New docs on a stream pair with the historical corpus AND with
+    each other in the same micro-batch; unrelated docs emit nothing."""
+    from imageduplicatefinder_spark.config import DedupConfig
+    from imageduplicatefinder_spark.operators.signatures import compute_signatures
+    from imageduplicatefinder_spark.streaming.dedup_stream import incremental_dedup
+
+    cfg = DedupConfig()
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    hist_docs = spark.createDataFrame(
+        [("r", "old/base.py", "c0", "py", base),
+         ("r", "old/other.py", "c1", "py",
+          "totally different content nothing shared here at all " * 5)],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    hist_sigs = compute_signatures(hist_docs, cfg)
+
+    t0 = datetime.datetime(2024, 1, 1)
+    new_rows = [
+        (t0, "r", "new/neardup.py", "c2", "py", base + "one tiny extra tail"),
+        (t0, "r", "new/neardup2.py", "c3", "py", base + "another tiny tail"),
+        (t0, "r", "new/unrelated.py", "c4", "py",
+         "completely fresh words with no overlap whatsoever " * 5),
+    ]
+    src = spark.createDataFrame(new_rows, STREAM_SCHEMA)
+    srcdir = str(tmp_path / "inc_src")
+    src.coalesce(1).write.parquet(srcdir)
+    stream = spark.readStream.schema(src.schema).parquet(srcdir)
+
+    edges_out = str(tmp_path / "inc_edges")
+    q = incremental_dedup(
+        stream, hist_sigs, cfg, edges_out, str(tmp_path / "inc_ckpt")
+    )
+    q.awaitTermination(120)
+
+    edges = spark.read.parquet(edges_out)
+    ids = compute_signatures(
+        spark.createDataFrame(
+            [r[1:] for r in new_rows],
+            "repo string, path string, commit string, lang string, content string",
+        ).unionByName(hist_docs),
+        cfg,
+    ).select("doc_id", "path").collect()
+    path_of = {r.doc_id: r.path for r in ids}
+    got = {
+        frozenset((path_of[r.src], path_of[r.dst])) for r in edges.collect()
+    }
+    assert frozenset(("old/base.py", "new/neardup.py")) in got
+    assert frozenset(("new/neardup.py", "new/neardup2.py")) in got  # within batch
+    assert all("unrelated" not in a and "unrelated" not in b
+               for pair in got for a, b in [tuple(pair)])
