@@ -4,9 +4,16 @@
 sf0.001; ``queries()``/``oracle_sql()`` expose the full catalog from
 ``imageduplicatefinder_spark.queries`` (one entry per implemented
 operator family from SURVEY.md §2 plus the training-pipeline ops).
-Queries without an oracle entry are genuinely non-SQL-expressible
-(MinHash/LSH banding, iterative connected components, random-hyperplane
-ANN) and get the driver's rows-only check.
+The five queries without an oracle entry are genuinely
+non-SQL-expressible — they depend on the engine's internal vectorized
+token hash (MinHash banding, the flagship LSH pipeline, the
+gradient-sign sketch), the stubbed media decode (pHash pairs), or
+runtime-trained IVF centroids that cannot appear in a static SQL
+string — and get the driver's rows-only check. Everything else
+(30 queries) is value-hash checked against DuckDB, including the
+SimHash Hamming pairs (portable md5-nibble simhash), connected
+components (recursive-CTE fixpoint), and the hyperplane-bucketed ANN
+(plane constants inlined as SQL literals).
 """
 
 from __future__ import annotations
