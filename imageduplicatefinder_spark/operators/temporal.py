@@ -1,0 +1,119 @@
+"""Temporal joins Spark lacks as built-ins: as-of join and range join.
+
+Both are expressed as compositions of existing DataFrame operators (the
+preferred strategy for custom operators — no UDF, no cartesian):
+
+- ``asof_join``: for every probe row, the LATEST quote row of the same
+  key with quote.ts <= probe.ts — the canonical time-series enrichment
+  join. Distributed shape: union the two sides with a side tag, one
+  window per key ordered by (ts, side) carrying the last non-null quote
+  columns forward, then keep probe rows. ONE shuffle on the key; no
+  per-row probing. Quote rows sort before probe rows at equal ts, so
+  ties resolve as ``<=`` (DuckDB ASOF JOIN semantics, the oracle).
+
+- ``range_join_bucketed``: pairs (left, right) of the same key with
+  right.ts in [left.ts, left.ts + window). A naive range join plans a
+  cartesian/BNL; the distributed form buckets time into window-sized
+  cells, explodes the LEFT side to the (at most 2) cells its interval
+  touches, equi-joins on (key, cell), and applies the exact range as a
+  residual filter. Shuffle volume is 2x the left side, never O(n^2).
+
+Scale notes: the as-of window partitions by key — a mega-key (one user
+with millions of events) serializes onto one task; the standard remedy
+is range-bucketing the window with boundary-row carryover, which this
+module trades away for simplicity since event streams key on
+user/device ids with bounded per-key cardinality. The range join has
+no such limit (cells bound the group size via the time dimension).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    probe: DataFrame,
+    quote: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    quote_cols: list[str] | None = None,
+    prefix: str = "asof_",
+    how: str = "inner",
+) -> DataFrame:
+    """For each probe row, attach the latest quote (same ``on`` key,
+    quote ts <= probe ts). Output = probe columns + prefixed quote
+    columns (including ``<prefix><ts_col>``). ``how='inner'`` drops
+    probes with no preceding quote; ``'left'`` keeps them with nulls.
+    """
+    if quote_cols is None:
+        quote_cols = [c for c in quote.columns if c not in (on, ts_col)]
+    q = quote.select(
+        on,
+        ts_col,
+        *[F.col(c).alias(f"_q_{c}") for c in quote_cols],
+        F.lit(0).alias("_side"),
+    )
+    p = probe.withColumn("_side", F.lit(1))
+    unioned = p.unionByName(q, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [
+        F.last(F.col(f"_q_{c}"), ignorenulls=True).over(w).alias(f"{prefix}{c}")
+        for c in quote_cols
+    ]
+    carried_ts = F.last(
+        F.when(F.col("_side") == 0, F.col(ts_col)), ignorenulls=True
+    ).over(w).alias(f"{prefix}{ts_col}")
+
+    out = (
+        unioned.select("*", *carried, carried_ts)
+        .filter(F.col("_side") == 1)
+        .drop("_side", *[f"_q_{c}" for c in quote_cols])
+    )
+    if how == "inner":
+        out = out.filter(F.col(f"{prefix}{ts_col}").isNotNull())
+    elif how != "left":
+        raise ValueError(f"unknown how {how!r}")
+    return out
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    window_seconds: int,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+) -> DataFrame:
+    """Pairs of (left, right) rows sharing ``on`` with
+    ``left_ts <= right_ts < left_ts + window_seconds`` — WITHOUT a
+    cartesian/BNL plan: both sides get a cell id
+    ``floor(epoch/window)``, the left side explodes to its cell and the
+    next (its window spans at most two cells), the join is an equi-join
+    on (key, cell), and the exact range is a residual filter.
+
+    Output: every column of ``left`` plus right's columns prefixed
+    ``r_`` (``r_<right_ts>`` is the matched timestamp).
+    """
+    cell_l = F.floor(F.unix_timestamp(F.col(left_ts)) / window_seconds)
+    lt = left.withColumn(
+        "_cell", F.explode(F.array(cell_l, cell_l + 1))
+    )
+    rcols = [F.col(c).alias(f"r_{c}") for c in right.columns if c != on]
+    rt = right.select(on, *rcols).withColumn(
+        "_cell", F.floor(F.unix_timestamp(F.col(f"r_{right_ts}")) / window_seconds)
+    )
+    lo = F.unix_timestamp(F.col(left_ts))
+    hi = lo + window_seconds
+    r_epoch = F.unix_timestamp(F.col(f"r_{right_ts}"))
+    return (
+        lt.join(rt, on=[on, "_cell"])
+        .filter((r_epoch >= lo) & (r_epoch < hi))
+        .drop("_cell")
+    )

@@ -912,6 +912,92 @@ SELECT o_custkey AS custkey FROM (
 """
 
 
+def q_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (custom operator Spark lacks natively,
+    operators/temporal.py): for every click event, the user's LATEST
+    purchase at-or-before the click. Oracle = DuckDB's native
+    ASOF JOIN. Inner form (clicks without a preceding purchase drop),
+    so no cross-engine null-formatting ambiguity."""
+    from imageduplicatefinder_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"), "user_id", "ts", "value"
+    )
+    joined = asof_join(clicks, purchases, on="user_id", ts_col="ts",
+                       quote_cols=["p_event_id", "value"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        F.col("asof_p_event_id").alias("asof_event_id"),
+        F.unix_timestamp("asof_ts").alias("asof_ts_epoch"),
+        _cents(F.col("asof_value")).alias("asof_value_cents"),
+    )
+
+
+SQL_ASOF_CLICK_PURCHASE = """
+WITH a AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), b AS (
+  SELECT event_id AS p_event_id, user_id, ts AS p_ts, value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT a.event_id, a.user_id,
+       CAST(floor(epoch(a.ts)) AS BIGINT) AS ts_epoch,
+       b.p_event_id AS asof_event_id,
+       CAST(floor(epoch(b.p_ts)) AS BIGINT) AS asof_ts_epoch,
+       CAST(round(b.value * 100) AS BIGINT) AS asof_value_cents
+FROM a ASOF JOIN b ON a.user_id = b.user_id AND a.ts >= b.p_ts
+"""
+
+
+def q_range_purchase_followups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (custom operator, operators/temporal.py): every event
+    of the same user within 1 hour AFTER a purchase — bucketed
+    equi-join + residual filter, never a cartesian/BNL plan. The
+    purchase row itself qualifies (lag 0), matching the closed-open
+    [t, t+3600) SQL range below."""
+    from imageduplicatefinder_spark.operators.temporal import range_join_bucketed
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    joined = range_join_bucketed(purchases, ev.select(
+        "event_id", "user_id", "ts", "event_type"), on="user_id",
+        window_seconds=3600)
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        F.col("r_event_id").alias("event_id"),
+        F.col("r_event_type").alias("event_type"),
+        (F.unix_timestamp("r_ts") - F.unix_timestamp("ts")).alias("lag_s"),
+    )
+
+
+# the operator is defined over WHOLE-SECOND epochs (Spark's
+# unix_timestamp floors fractional seconds); the oracle applies the
+# same flooring in the range predicate so boundaries agree exactly
+SQL_RANGE_PURCHASE_FOLLOWUPS = """
+WITH fe AS (
+  SELECT event_id, user_id, event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+  FROM events
+)
+SELECT p.event_id AS purchase_id, p.user_id,
+       e.event_id, e.event_type,
+       e.ts_s - p.ts_s AS lag_s
+FROM fe p JOIN fe e
+  ON p.user_id = e.user_id
+ AND e.ts_s >= p.ts_s AND e.ts_s < p.ts_s + 3600
+WHERE p.event_type = 'purchase'
+"""
+
+
 def q_event_user_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct aggregation: unique users + total events per type."""
     ev = load_table(spark, sf_dir, "events")
@@ -1325,6 +1411,8 @@ QUERIES: dict[str, QueryFn] = {
     "order_priority_pivot": q_order_priority_pivot,
     "repeat_customers_setops": q_repeat_customers_setops,
     "event_user_reach": q_event_user_reach,
+    "asof_click_purchase": q_asof_click_purchase,
+    "range_purchase_followups": q_range_purchase_followups,
     # dedup via sketch + Hamming LSH (oracle: portable simhash in SQL)
     "simhash_hamming_pairs": q_simhash_hamming_pairs,
     # Spark-only (rows-only driver check)
@@ -1367,4 +1455,6 @@ ORACLES: dict[str, str] = {
     "order_priority_pivot": SQL_ORDER_PRIORITY_PIVOT,
     "repeat_customers_setops": SQL_REPEAT_CUSTOMERS_SETOPS,
     "event_user_reach": SQL_EVENT_USER_REACH,
+    "asof_click_purchase": SQL_ASOF_CLICK_PURCHASE,
+    "range_purchase_followups": SQL_RANGE_PURCHASE_FOLLOWUPS,
 }
