@@ -808,6 +808,49 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity rollup (the hypertable continuous-aggregate
+    analog): one pass produces (event_type, hour), (event_type), and
+    grand-total aggregates via ROLLUP grouping sets, disambiguated by
+    grouping_id. Subtotal null keys are coalesced to sentinels on BOTH
+    engines so the cross-engine hash is null-format-independent."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch")
+    rolled = (
+        ev.select("event_type", hour, "value")
+        .rollup("event_type", "hour_epoch")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n"),
+            F.sum(_cents(F.col("value"))).alias("value_cents"),
+        )
+    )
+    return rolled.select(
+        F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+        F.coalesce("hour_epoch", F.lit(-1)).alias("hour_epoch"),
+        F.col("gid").cast("long").alias("gid"),
+        "n",
+        "value_cents",
+    )
+
+
+SQL_EVENTS_ROLLUP = """
+WITH base AS (
+  SELECT event_type,
+         CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
+         value
+  FROM events
+)
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(hour_epoch, -1) AS hour_epoch,
+       CAST(GROUPING(event_type, hour_epoch) AS BIGINT) AS gid,
+       count(*) AS n,
+       sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS value_cents
+FROM base
+GROUP BY ROLLUP (event_type, hour_epoch)
+"""
+
+
 def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-min-gap sessions per user via lag + running sum
     (the stateful-streaming analog, batch-windowed)."""
@@ -1406,6 +1449,7 @@ QUERIES: dict[str, QueryFn] = {
     "region_customer_rollup": q_region_customer_rollup,
     "brand_revenue": q_brand_revenue,
     "events_hourly": q_events_hourly,
+    "events_rollup": q_events_rollup,
     "user_sessions": q_user_sessions,
     "top_events_per_user": q_top_events_per_user,
     "order_priority_pivot": q_order_priority_pivot,
@@ -1450,6 +1494,7 @@ ORACLES: dict[str, str] = {
     "region_customer_rollup": SQL_REGION_CUSTOMER_ROLLUP,
     "brand_revenue": SQL_BRAND_REVENUE,
     "events_hourly": SQL_EVENTS_HOURLY,
+    "events_rollup": SQL_EVENTS_ROLLUP,
     "user_sessions": SQL_USER_SESSIONS,
     "top_events_per_user": SQL_TOP_EVENTS_PER_USER,
     "order_priority_pivot": SQL_ORDER_PRIORITY_PIVOT,
