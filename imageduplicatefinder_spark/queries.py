@@ -535,6 +535,40 @@ FROM documents
 """
 
 
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment — the reproducible-split
+    primitive every training-data pipeline needs: bucket = md5 of the
+    doc id mod 100 (content-independent, engine-portable, stable across
+    runs/partitionings — unlike ``df.sample``/``randomSplit``, whose
+    output depends on partition layout). 90/5/5 split."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        _hex8_to_long_spark(F.md5(F.col("doc_id").cast("string"))), F.lit(100)
+    )
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+SQL_TRAIN_VAL_TEST_SPLIT = f"""
+WITH b AS (
+  SELECT doc_id,
+         {_hex8_to_long_sql("md5(CAST(doc_id AS VARCHAR))")} % 100 AS bucket
+  FROM documents
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
 def q_lang_file_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 extension-filter analog: per-lang counts after a pushed-down
     predicate (ref: app/Commands.java:74)."""
@@ -1437,6 +1471,7 @@ QUERIES: dict[str, QueryFn] = {
     "lang_id_heuristic": q_lang_id_heuristic,
     "doc_fingerprint": q_doc_fingerprint,
     "winnowing_fingerprints": q_winnowing_fingerprints,
+    "train_val_test_split": q_train_val_test_split,
     "lang_file_counts": q_lang_file_counts,
     "bpe_token_counts": q_bpe_token_counts,
     # embeddings / similarity search
@@ -1484,6 +1519,7 @@ ORACLES: dict[str, str] = {
     "lang_id_heuristic": SQL_LANG_ID_HEURISTIC,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "winnowing_fingerprints": SQL_WINNOWING_FINGERPRINTS,
+    "train_val_test_split": SQL_TRAIN_VAL_TEST_SPLIT,
     "lang_file_counts": SQL_LANG_FILE_COUNTS,
     "bpe_token_counts": SQL_BPE_TOKEN_COUNTS,
     "embedding_norms": SQL_EMBEDDING_NORMS,

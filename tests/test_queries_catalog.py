@@ -23,7 +23,13 @@ LIGHT = [
     "top_orders_by_revenue",
     "region_customer_rollup",
     "events_hourly",
+    "events_rollup",
     "user_sessions",
+    "asof_click_purchase",
+    "range_purchase_followups",
+    "winnowing_fingerprints",
+    "train_val_test_split",
+    "quarantine_plan",
 ]
 
 
