@@ -78,6 +78,11 @@ def hamming_pairs(
     """
     sig = sketches.select(F.col(id_col).alias("_id"),
                           F.col(sketch_col).alias("sketch"))
+    # the sketch table is consumed five times below (chunk explode, two
+    # doc-mapping joins, two same-sketch join sides); without a
+    # materialization each consumer re-runs the upstream sketch
+    # computation (measured 3x wall on the portable-simhash caller)
+    sig = sig.localCheckpoint(eager=False)
     chunks = sketch_chunks(sig, radius, sketch_col="sketch")
     # a self-join scans its input twice; materialize the tiny distinct
     # sketch->chunk table instead of recomputing the upstream lineage
