@@ -235,3 +235,35 @@ def test_incremental_dedup_against_history(spark, tmp_path):
     assert frozenset(("new/neardup.py", "new/neardup2.py")) in got  # within batch
     assert all("unrelated" not in a and "unrelated" not in b
                for pair in got for a, b in [tuple(pair)])
+
+
+def test_fetch_urls_fake_and_error_isolation(spark):
+    """S10 data-plane analog: URL column -> binary payloads, with
+    per-row error isolation (S4 analog) on the real-fetch path."""
+    from imageduplicatefinder_spark.operators.multimodal import extract_features
+    from imageduplicatefinder_spark.sources.http import fetch_urls
+
+    urls = spark.createDataFrame(
+        [("http://x/a.png",), ("http://x/b.png",), ("http://x/a.png",)],
+        "url string",
+    )
+    got = fetch_urls(urls).collect()
+    by_url = {}
+    for r in got:
+        by_url.setdefault(r.url, []).append(r)
+    assert all(r.status == 200 and len(r.data) == 256 for r in got)
+    a = by_url["http://x/a.png"]
+    assert a[0].data == a[1].data                      # deterministic
+    assert a[0].data != by_url["http://x/b.png"][0].data
+
+    # fetched bytes feed the multimodal pipeline directly
+    media = fetch_urls(urls).selectExpr(
+        "xxhash64(url) AS id", "'image' AS kind", "data"
+    )
+    feats = extract_features(media, decode="fake")
+    assert feats.count() == 3
+
+    # urllib path: no network in the sandbox -> every row isolates to
+    # status -1 instead of failing the task
+    real = fetch_urls(urls, fetcher="urllib").collect()
+    assert all(r.status == -1 and r.data is None for r in real)
