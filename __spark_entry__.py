@@ -9,8 +9,8 @@ non-SQL-expressible — they depend on the engine's internal vectorized
 token hash (MinHash banding, the flagship LSH pipeline, the
 gradient-sign sketch), the stubbed media decode (pHash pairs), or
 runtime-trained IVF centroids that cannot appear in a static SQL
-string — and get the driver's rows-only check. Everything else
-(30 queries) is value-hash checked against DuckDB, including the
+string — and get the driver's rows-only check. Every other registered
+query is value-hash checked against DuckDB, including the
 SimHash Hamming pairs (portable md5-nibble simhash), connected
 components (recursive-CTE fixpoint), and the hyperplane-bucketed ANN
 (plane constants inlined as SQL literals).

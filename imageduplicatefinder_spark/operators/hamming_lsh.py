@@ -76,6 +76,16 @@ def hamming_pairs(
     Output: (doc_a, doc_b, hamming) with doc_a < doc_b,
     hamming = bit_count(sketch_a XOR sketch_b) <= radius.
     """
+    if not 0 <= radius <= 31:
+        # radius >= 32 means "more than half the bits differ" — beyond
+        # any duplicate semantics — and the chunk widths collapse
+        # (width 1 at r=31; width 0 at r>=64 would silently turn the
+        # candidate equi-join into a disguised cross join)
+        raise ValueError(
+            f"hamming radius {radius} out of range [0, 31]: pigeonhole "
+            "chunking degenerates (and the result would be meaningless "
+            "for 64-bit sketches anyway)"
+        )
     sig = sketches.select(F.col(id_col).alias("_id"),
                           F.col(sketch_col).alias("sketch"))
     # the sketch table is consumed five times below (chunk explode, two

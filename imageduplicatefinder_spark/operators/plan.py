@@ -72,14 +72,20 @@ def apply_plan_overrides(plan: DataFrame, overrides: DataFrame) -> DataFrame:
     user overrides (repo, path, commit, action) onto the decision table
     and take the override where present.
 
-    Safety rule enforced by the editor (and re-enforced here): a
-    cluster must keep at least one member — if overrides mark every
-    member of a cluster DELETE, the reference tiebreak keeper of that
-    cluster is flipped back to KEEP with reason 'override rejected:
-    cluster needs a keeper'.
+    Safety rules enforced by the editor (and re-enforced here):
+    - a cluster must keep at least one member — if overrides mark every
+      member of a cluster DELETE, the reference tiebreak keeper of that
+      cluster is flipped back to KEEP with reason 'override rejected:
+      cluster needs a keeper';
+    - overrides are sanitized before the join: rows whose action is not
+      exactly KEEP/DELETE are ignored, and duplicate overrides for one
+      file collapse deterministically with KEEP winning (never fan the
+      plan row out or let a conflicting pair produce two decisions).
     """
-    ov = overrides.select(
-        "repo", "path", "commit", F.col("action").alias("_ov_action")
+    ov = (
+        overrides.filter(F.col("action").isin("KEEP", "DELETE"))
+        .groupBy("repo", "path", "commit")
+        .agg(F.max("action").alias("_ov_action"))  # 'KEEP' > 'DELETE'
     )
     merged = plan.join(ov, on=["repo", "path", "commit"], how="left").withColumn(
         "action_eff", F.coalesce("_ov_action", "action")

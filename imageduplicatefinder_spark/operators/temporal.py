@@ -49,32 +49,44 @@ def asof_join(
     """
     if quote_cols is None:
         quote_cols = [c for c in quote.columns if c not in (on, ts_col)]
+    # the quote row is carried as ONE struct so the matched quote stays
+    # atomic — carrying columns independently with last(ignorenulls)
+    # would backfill a NULL column of the latest quote from an OLDER
+    # quote, fabricating a row that never existed (and diverging from
+    # ASOF JOIN, which returns the matched row's NULL as-is)
     q = quote.select(
         on,
         ts_col,
-        *[F.col(c).alias(f"_q_{c}") for c in quote_cols],
+        F.struct(
+            F.col(ts_col).alias("_qts"), *[F.col(c) for c in quote_cols]
+        ).alias("_q"),
         F.lit(0).alias("_side"),
     )
     p = probe.withColumn("_side", F.lit(1))
     unioned = p.unionByName(q, allowMissingColumns=True)
 
+    # (ts, side, _q): quotes sort before probes at equal ts (<= tie
+    # semantics), and the struct makes the order among equal-ts quotes
+    # TOTAL — without it two quotes in the same instant resolve to a
+    # partition-order-dependent winner (nondeterministic across runs).
+    # Probe rows all carry a null struct, so the third key is constant
+    # within side=1 and ascending-nulls-first cannot reorder them
+    # relative to quotes (side is the earlier key).
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc(), F.col("_q").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = [
-        F.last(F.col(f"_q_{c}"), ignorenulls=True).over(w).alias(f"{prefix}{c}")
-        for c in quote_cols
-    ]
-    carried_ts = F.last(
-        F.when(F.col("_side") == 0, F.col(ts_col)), ignorenulls=True
-    ).over(w).alias(f"{prefix}{ts_col}")
+    carried = F.last(F.col("_q"), ignorenulls=True).over(w).alias("_qrow")
 
     out = (
-        unioned.select("*", *carried, carried_ts)
+        unioned.select("*", carried)
         .filter(F.col("_side") == 1)
-        .drop("_side", *[f"_q_{c}" for c in quote_cols])
+        .select(
+            *[c for c in probe.columns],
+            *[F.col(f"_qrow.{c}").alias(f"{prefix}{c}") for c in quote_cols],
+            F.col("_qrow._qts").alias(f"{prefix}{ts_col}"),
+        )
     )
     if how == "inner":
         out = out.filter(F.col(f"{prefix}{ts_col}").isNotNull())

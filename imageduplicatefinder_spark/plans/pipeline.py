@@ -87,13 +87,16 @@ class DedupPipeline:
         # into one CC node / cluster id. Birthday bound ~n^2/2^65 (~3e4
         # expected at 10^12 rows) — so the pipeline CHECKS instead of
         # assuming: one agg over the already-materialized hash table.
+        # Compared against the DISTINCT natural-key count, not count(*):
+        # the same file listed twice is a legitimate exact duplicate the
+        # sha256 pre-pass absorbs, not a hash collision.
         idc = docs_tbl.agg(
-            F.count("*").alias("n"),
+            F.count_distinct("repo", "path", "commit").alias("n_keys"),
             F.count_distinct("doc_id").alias("n_ids"),
         ).collect()[0]
-        if idc["n"] != idc["n_ids"]:
+        if idc["n_keys"] != idc["n_ids"]:
             raise RuntimeError(
-                f"doc_id collision: {idc['n'] - idc['n_ids']} duplicate "
+                f"doc_id collision: {idc['n_keys'] - idc['n_ids']} duplicate "
                 "64-bit ids for distinct (repo, path, commit) keys — "
                 "rerun with a salted/widened id scheme"
             )
@@ -137,18 +140,25 @@ class DedupPipeline:
         all_edges = verified.select("src", "dst").union(
             ex_edges.select("src", "dst")
         )
-        comps = connected_components(all_edges)
-        # nodes never seen in any edge stay singletons (dropped from the
-        # clusters table anyway, ref: app/Commands.java:149-151)
-        comps_full = self.ckpt.materialize(
-            "components",
-            lambda: docs_tbl.select("doc_id")
-            .join(comps, on="doc_id", how="left")
-            .select(
-                "doc_id",
-                F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
-            ),
-        )
+
+        # CC runs eagerly (per-round jobs), so it must live INSIDE the
+        # materialize lambda: a resumed run reads the checkpoint back and
+        # never re-iterates (previously the rounds re-ran and a
+        # non-converging graph could abort a fully-checkpointed resume)
+        def build_components() -> DataFrame:
+            comps = connected_components(all_edges)
+            # nodes never seen in any edge stay singletons (dropped from
+            # the clusters table anyway, ref: app/Commands.java:149-151)
+            return (
+                docs_tbl.select("doc_id")
+                .join(comps, on="doc_id", how="left")
+                .select(
+                    "doc_id",
+                    F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+                )
+            )
+
+        comps_full = self.ckpt.materialize("components", build_components)
         clusters = self.ckpt.materialize(
             "clusters", lambda: clusters_table(comps_full, docs_tbl)
         )

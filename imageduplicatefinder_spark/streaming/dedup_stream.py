@@ -104,11 +104,15 @@ def incremental_dedup(
     """
     from pyspark.sql import functions as SF
 
-    from imageduplicatefinder_spark.operators.lsh import band_table
+    from imageduplicatefinder_spark.operators.lsh import band_table, capped_bands
     from imageduplicatefinder_spark.operators.signatures import compute_signatures
     from imageduplicatefinder_spark.operators.verify import verify_pairs
 
-    hist_bands = band_table(history_signatures, cfg).localCheckpoint(eager=False)
+    # hot-band cap on the HISTORY side, same as the batch pipeline: a
+    # mega-band in the corpus (license boilerplate) would otherwise fan
+    # every colliding new doc out O(band_size) per micro-batch
+    hist_bands, _ = capped_bands(band_table(history_signatures, cfg), cfg)
+    hist_bands = hist_bands.localCheckpoint(eager=False)
     hist_sigs = history_signatures
 
     def process(batch_df: DataFrame, batch_id: int) -> None:

@@ -55,3 +55,33 @@ def test_containment_verify_grouped_matches_plain(spark):
     assert plain == grouped
     assert grouped[(1, 2)][0] and grouped[(2, 5)][0]
     assert not grouped[(4, 2)][0]
+
+
+def test_containment_candidates_find_high_ratio_pairs(spark):
+    """The candidate generator must surface 'snippet embedded in a much
+    bigger host' pairs — the exact shape MinHash bands miss (J ~ 1/ratio)."""
+    from imageduplicatefinder_spark.config import DedupConfig
+    from imageduplicatefinder_spark.operators.containment import (
+        containment_candidates,
+    )
+    from imageduplicatefinder_spark.operators.signatures import compute_signatures
+
+    snippet = " ".join(f"tok{i}" for i in range(40))
+    filler = " ".join(f"host{i}" for i in range(400))
+    rows = [
+        ("r", "snippet.py", "c1", "py", snippet),
+        ("r", "host.py", "c2", "py", filler + " " + snippet),     # ratio ~11
+        ("r", "unrelated.py", "c3", "py",
+         " ".join(f"zzz{i}" for i in range(40))),
+    ]
+    docs = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    sig = compute_signatures(docs, DedupConfig())
+    ids = {r.path: r.doc_id for r in sig.select("path", "doc_id").collect()}
+    got = {(r.src, r.dst) for r in containment_candidates(sig).collect()}
+    want = (min(ids["snippet.py"], ids["host.py"]),
+            max(ids["snippet.py"], ids["host.py"]))
+    assert want in got
+    for a, b in got:  # unrelated doc never pairs
+        assert ids["unrelated.py"] not in (a, b)

@@ -104,3 +104,38 @@ def test_range_join_crosses_cell_boundary(spark):
                                      window_seconds=3600).collect()
     }
     assert got == {30, 31}
+
+
+def test_asof_matched_quote_row_stays_atomic(spark):
+    """A NULL column in the latest quote must come through as NULL —
+    not be backfilled from an older quote (the matched row is atomic,
+    matching DuckDB ASOF JOIN semantics)."""
+    probe = spark.createDataFrame(
+        [(1, 1, _ts(100))], "event_id long, user_id long, ts timestamp"
+    )
+    quote = spark.createDataFrame(
+        [(10, 1, _ts(10), 5.0), (11, 1, _ts(50), None)],
+        "q_id long, user_id long, ts timestamp, v double",
+    )
+    r = asof_join(probe, quote, on="user_id", ts_col="ts",
+                  quote_cols=["q_id", "v"]).collect()[0]
+    assert r.asof_q_id == 11
+    assert r.asof_v is None  # NOT 5.0 from the older quote
+
+
+def test_asof_equal_ts_quotes_deterministic(spark):
+    """Two quotes in the same instant resolve to a deterministic winner
+    (max by the quote struct), independent of partition layout."""
+    probe = spark.createDataFrame(
+        [(1, 1, _ts(100))], "event_id long, user_id long, ts timestamp"
+    )
+    rows = [(10, 1, _ts(100), 1.0), (11, 1, _ts(100), 2.0)]
+    outs = set()
+    for parts in (1, 5):
+        quote = spark.createDataFrame(
+            rows, "q_id long, user_id long, ts timestamp, v double"
+        ).repartition(parts)
+        r = asof_join(probe, quote, on="user_id", ts_col="ts",
+                      quote_cols=["q_id", "v"]).collect()[0]
+        outs.add((r.asof_q_id, r.asof_v))
+    assert len(outs) == 1
