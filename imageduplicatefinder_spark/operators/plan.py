@@ -26,38 +26,58 @@ def clusters_table(
 ) -> DataFrame:
     """(cluster_id, doc_id, repo, path, commit, size) — only clusters
     with >= min_size members, matching the reference's singleton drop
-    (ref: app/Commands.java:149-151)."""
-    joined = components.join(
-        signatures.select("doc_id", "repo", "path", "commit", "size"), on="doc_id"
-    )
-    w = Window.partitionBy("cluster_id")
-    return (
-        joined.withColumn("_n", F.count("*").over(w))
+    (ref: app/Commands.java:149-151).
+
+    Size check is a groupBy + join, NOT a count window: a window
+    partition co-locates every member of a cluster on one task, and at
+    10^12 files a viral blob (one file copied 10^8 times) is a single
+    cluster — the aggregate gets map-side partial counts instead.
+    """
+    sizes = (
+        components.groupBy("cluster_id")
+        .agg(F.count("*").alias("_n"))
         .filter(F.col("_n") >= min_size)
-        .drop("_n")
+        .select("cluster_id")
     )
+    return components.join(sizes, on="cluster_id").join(
+        signatures.select("doc_id", "repo", "path", "commit", "size"), on="doc_id"
+    ).select("cluster_id", "doc_id", "repo", "path", "commit", "size")
+
+
+def _keeper_order(clusters: DataFrame):
+    """Orderable struct encoding the reference tiebreak as a single
+    ascending MIN: size DESC (negated) -> mtime ASC (when present) ->
+    lower(path) ASC -> doc_id ASC (unique, so the order is total)."""
+    fields = [(-F.col("size")).alias("_o_size")]
+    if "mtime" in clusters.columns:
+        fields.append(F.unix_timestamp("mtime").alias("_o_mtime"))
+    fields += [F.lower("path").alias("_o_path"), F.col("doc_id").alias("_o_id")]
+    return F.struct(*fields)
 
 
 def keeper_plan(clusters: DataFrame) -> DataFrame:
     """clusters -> (cluster_id, action, repo, path, commit, reason).
 
-    Keeper = row_number()==1 under the reference tiebreak order
-    (ref: app/Commands.java:212-233). `mtime` participates when the
-    input carries it; absent columns are skipped.
+    Keeper = MIN over the reference tiebreak order
+    (ref: app/Commands.java:212-233), computed as a partial-aggregating
+    ``min_by`` + join rather than a row_number window: a window sorts
+    every cluster member on ONE task, which dies on a mega-cluster
+    (viral exact-dup file at 10^12 scale); the aggregate combines
+    map-side and the join back is AQE-skew-splittable. `mtime`
+    participates when the input carries it.
     """
-    order = [F.desc("size")]
-    if "mtime" in clusters.columns:
-        order.append(F.asc("mtime"))
-    order += [F.asc(F.lower("path")), F.asc("doc_id")]
-    w = Window.partitionBy("cluster_id").orderBy(*order)
+    keepers = clusters.groupBy("cluster_id").agg(
+        F.min_by("doc_id", _keeper_order(clusters)).alias("_keeper_id")
+    )
+    is_keeper = F.col("doc_id") == F.col("_keeper_id")
     return (
-        clusters.withColumn("_rn", F.row_number().over(w))
+        clusters.join(keepers, on="cluster_id")
         .withColumn(
-            "action", F.when(F.col("_rn") == 1, F.lit("KEEP")).otherwise(F.lit("DELETE"))
+            "action", F.when(is_keeper, F.lit("KEEP")).otherwise(F.lit("DELETE"))
         )
         .withColumn(
             "reason",
-            F.when(F.col("_rn") == 1, F.lit("largest content, first path")).otherwise(
+            F.when(is_keeper, F.lit("largest content, first path")).otherwise(
                 F.lit("duplicate of keeper")
             ),
         )

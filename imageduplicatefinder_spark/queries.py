@@ -273,23 +273,36 @@ WHERE floor(inter * 1000.0 / least(sa.n, sb.n)) >= 900
 
 
 def q_dedup_keeper_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W1 keeper window over token-set dup groups: biggest doc KEEPs
-    (ref tiebreak order, src/main/java/app/Commands.java:212-233)."""
+    """W1 keeper selection over token-set dup groups: biggest doc KEEPs
+    (ref tiebreak order, src/main/java/app/Commands.java:212-233).
+
+    Spark side is a partial-aggregating min_by + join (mega-group safe:
+    a viral dup class never sorts on one task); the oracle keeps the
+    equivalent row_number formulation — identical results, different
+    physical strategy, which is the point of declaring semantics."""
     docs = load_table(spark, sf_dir, "documents")
     set_hash = F.sha2(
         F.concat_ws(" ", F.array_sort(F.array_distinct(_words()))), 256
     ).alias("set_hash")
     d = docs.select("doc_id", "n_chars", set_hash)
-    w = Window.partitionBy("set_hash")
-    d = d.withColumn("_n", F.count("*").over(w)).filter(F.col("_n") >= 2)
-    rn = F.row_number().over(
-        Window.partitionBy("set_hash").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    groups = (
+        d.groupBy("set_hash")
+        .agg(
+            F.count("*").alias("_n"),
+            F.min_by(
+                "doc_id", F.struct((-F.col("n_chars")).alias("_s"), F.col("doc_id"))
+            ).alias("_keeper"),
+        )
+        .filter(F.col("_n") >= 2)
+        .select("set_hash", "_keeper")
     )
-    return d.select(
+    return d.join(groups, on="set_hash").select(
         "set_hash",
         "doc_id",
         "n_chars",
-        F.when(rn == 1, F.lit("KEEP")).otherwise(F.lit("DELETE")).alias("action"),
+        F.when(F.col("doc_id") == F.col("_keeper"), F.lit("KEEP"))
+        .otherwise(F.lit("DELETE"))
+        .alias("action"),
     )
 
 
