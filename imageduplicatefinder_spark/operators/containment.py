@@ -117,7 +117,8 @@ def containment_candidates(
     min_ratio: float = 1.5,
     k_probe: int = 16,
     df_cap: int = 1024,
-) -> DataFrame:
+    return_stats: bool = False,
+):
     """Asymmetric-length candidate pre-filter for the "small doc
     embedded in a big host" shape, with QUANTIFIABLE recall.
 
@@ -133,22 +134,34 @@ def containment_candidates(
     c=0.9... the verify stage then confirms exactly).
 
     Scale shape: probe side is k_probe rows/doc (linear); build side is
-    every shingle occurrence with a document-frequency cap ``df_cap``
-    on hot boilerplate shingles (a capped shingle bounds per-key join
-    fan-out; a probe landing only on capped shingles can miss — the
-    same explicit, logged tradeoff as the LSH band cap). The equi-join
+    every shingle occurrence, with hot boilerplate shingles (document
+    frequency > ``df_cap``) DOWN-SAMPLED to ~df_cap surviving
+    occurrences via the same deterministic salted threshold as the LSH
+    band cap (operators/lsh.py capped_bands) — bounded per-key join
+    fan-out without dropping a hot shingle entirely; pass
+    ``return_stats=True`` to also get the (shingle, df) table of capped
+    shingles so the recall loss is visible, not silent. The equi-join
     on the shingle hash replaces the old all-pairs size crossJoin.
-    ``signatures`` needs (doc_id, size, shingles).
+    ``signatures`` needs (doc_id, size, shingles); the narrow
+    projection is lazily materialized once so the (possibly expensive,
+    UDF-produced) signature lineage is not recomputed per consumer.
     """
-    occ = signatures.select("doc_id", F.explode("shingles").alias("shingle"))
+    sig_narrow = signatures.select("doc_id", "size", "shingles") \
+        .localCheckpoint(eager=False)
+    occ = sig_narrow.select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    ).localCheckpoint(eager=False)
     hot = (
         occ.groupBy("shingle")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") > df_cap)
-        .select("shingle")
     )
-    build = occ.join(F.broadcast(hot), on="shingle", how="left_anti")
-    probes = signatures.select(
+    salted = occ.join(F.broadcast(hot), on="shingle", how="left")
+    build = salted.filter(
+        F.col("df").isNull()
+        | (F.pmod(F.xxhash64("doc_id", "shingle"), F.col("df")) < F.lit(df_cap))
+    ).select("doc_id", "shingle")
+    probes = sig_narrow.select(
         F.col("doc_id").alias("probe_id"),
         F.explode(F.slice("shingles", 1, k_probe)).alias("shingle"),
     )
@@ -161,7 +174,7 @@ def containment_candidates(
         )
         .distinct()
     )
-    sizes = signatures.select("doc_id", "size")
+    sizes = sig_narrow.select("doc_id", "size")
     withs = (
         pairs.join(sizes.select(F.col("doc_id").alias("src"),
                                 F.col("size").alias("size_src")), on="src")
@@ -170,8 +183,11 @@ def containment_candidates(
     )
     big = F.greatest("size_src", "size_dst").cast("double")
     small = F.least("size_src", "size_dst").cast("double")
-    return (
+    out = (
         withs.withColumn("size_ratio", F.try_divide(big, small))
         .filter(F.col("size_ratio") >= min_ratio)
         .select("src", "dst")
     )
+    if return_stats:
+        return out, hot
+    return out

@@ -6,7 +6,9 @@ reference sorts by pixels DESC, size DESC, mtime ASC, path ASC
 (case-insensitive) (ref: Commands.java:212-221); for text payloads
 "pixels" maps to content size, so the tiebreak is
 size DESC -> mtime ASC (when present) -> lower(path) ASC -> doc_id.
-A textbook windowed top-1 — one shuffle on cluster_id.
+Computed as a partial-aggregating min_by over an order-encoding struct
+(NOT a row_number window — a window sorts every cluster member on one
+task, which dies on viral mega-clusters at scale).
 
 The engine emits the *decision table*; it does not mutate a filesystem
 (the reference's quarantine move, Commands.java:302-354, is a
@@ -18,7 +20,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 def clusters_table(
@@ -33,24 +34,37 @@ def clusters_table(
     10^12 files a viral blob (one file copied 10^8 times) is a single
     cluster — the aggregate gets map-side partial counts instead.
     """
+    joined = components.join(
+        signatures.select("doc_id", "repo", "path", "commit", "size"), on="doc_id"
+    )
+    # size gate counted AFTER the signatures join: members absent from
+    # signatures (e.g. a lang-filtered table) must not keep a cluster
+    # alive that emits fewer than min_size rows
     sizes = (
-        components.groupBy("cluster_id")
+        joined.groupBy("cluster_id")
         .agg(F.count("*").alias("_n"))
         .filter(F.col("_n") >= min_size)
         .select("cluster_id")
     )
-    return components.join(sizes, on="cluster_id").join(
-        signatures.select("doc_id", "repo", "path", "commit", "size"), on="doc_id"
-    ).select("cluster_id", "doc_id", "repo", "path", "commit", "size")
+    return joined.join(sizes, on="cluster_id").select(
+        "cluster_id", "doc_id", "repo", "path", "commit", "size"
+    )
 
 
 def _keeper_order(clusters: DataFrame):
     """Orderable struct encoding the reference tiebreak as a single
     ascending MIN: size DESC (negated) -> mtime ASC (when present) ->
-    lower(path) ASC -> doc_id ASC (unique, so the order is total)."""
-    fields = [(-F.col("size")).alias("_o_size")]
+    lower(path) ASC -> doc_id ASC (unique, so the order is total).
+
+    NULL size loses (the old window's desc_nulls_last; the reference
+    penalizes unreadables so they never win, Commands.java:207-209):
+    the negation would otherwise put struct-NULL first and crown a
+    corrupt member. mtime rides as the RAW timestamp (orderable in
+    structs) — an epoch-seconds cast would truncate sub-second
+    precision and flip keepers between same-second files."""
+    fields = [(-F.coalesce(F.col("size"), F.lit(-(1 << 62)))).alias("_o_size")]
     if "mtime" in clusters.columns:
-        fields.append(F.unix_timestamp("mtime").alias("_o_mtime"))
+        fields.append(F.col("mtime").alias("_o_mtime"))
     fields += [F.lower("path").alias("_o_path"), F.col("doc_id").alias("_o_id")]
     return F.struct(*fields)
 
@@ -110,12 +124,16 @@ def apply_plan_overrides(plan: DataFrame, overrides: DataFrame) -> DataFrame:
     merged = plan.join(ov, on=["repo", "path", "commit"], how="left").withColumn(
         "action_eff", F.coalesce("_ov_action", "action")
     )
-    w = Window.partitionBy("cluster_id")
-    keeps = F.sum((F.col("action_eff") == "KEEP").cast("int")).over(w)
+    # keeps-per-cluster via groupBy + join, not a count window — the
+    # same mega-cluster single-task hazard keeper_plan avoids
+    keeps_tbl = merged.groupBy("cluster_id").agg(
+        F.sum((F.col("action_eff") == "KEEP").cast("int")).alias("_keeps")
+    )
+    merged = merged.join(keeps_tbl, on="cluster_id")
     # fallback keeper = the reference-tiebreak winner (original KEEP row)
-    needs_fix = (keeps == 0) & (F.col("action") == "KEEP")
+    needs_fix = (F.col("_keeps") == 0) & (F.col("action") == "KEEP")
     return (
-        merged.withColumn("_keeps", keeps)
+        merged
         .select(
             "cluster_id",
             F.when(needs_fix, F.lit("KEEP"))

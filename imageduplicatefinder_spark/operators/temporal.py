@@ -41,14 +41,22 @@ def asof_join(
     quote_cols: list[str] | None = None,
     prefix: str = "asof_",
     how: str = "inner",
+    tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
     """For each probe row, attach the latest quote (same ``on`` key,
     quote ts <= probe ts). Output = probe columns + prefixed quote
     columns (including ``<prefix><ts_col>``). ``how='inner'`` drops
     probes with no preceding quote; ``'left'`` keeps them with nulls.
+
+    Equal-timestamp quotes resolve deterministically by ordering on
+    ``tiebreak_cols`` (default: all quote_cols — which therefore must
+    be ORDERABLE types; pass an explicit orderable subset, e.g. a quote
+    id, when the payload carries maps or other unorderable columns).
     """
     if quote_cols is None:
         quote_cols = [c for c in quote.columns if c not in (on, ts_col)]
+    if tiebreak_cols is None:
+        tiebreak_cols = quote_cols
     # the quote row is carried as ONE struct so the matched quote stays
     # atomic — carrying columns independently with last(ignorenulls)
     # would backfill a NULL column of the latest quote from an OLDER
@@ -60,21 +68,22 @@ def asof_join(
         F.struct(
             F.col(ts_col).alias("_qts"), *[F.col(c) for c in quote_cols]
         ).alias("_q"),
+        F.struct(*[F.col(c) for c in tiebreak_cols]).alias("_qord"),
         F.lit(0).alias("_side"),
     )
     p = probe.withColumn("_side", F.lit(1))
     unioned = p.unionByName(q, allowMissingColumns=True)
 
-    # (ts, side, _q): quotes sort before probes at equal ts (<= tie
-    # semantics), and the struct makes the order among equal-ts quotes
-    # TOTAL — without it two quotes in the same instant resolve to a
-    # partition-order-dependent winner (nondeterministic across runs).
-    # Probe rows all carry a null struct, so the third key is constant
-    # within side=1 and ascending-nulls-first cannot reorder them
-    # relative to quotes (side is the earlier key).
+    # (ts, side, _qord): quotes sort before probes at equal ts (<= tie
+    # semantics), and the tiebreak struct makes the order among
+    # equal-ts quotes TOTAL — without it two quotes in the same instant
+    # resolve to a partition-order-dependent winner (nondeterministic
+    # across runs). Probe rows all carry a null tiebreak, so the third
+    # key is constant within side=1 and cannot reorder them relative to
+    # quotes (side is the earlier key).
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col(ts_col).asc(), F.col("_side").asc(), F.col("_q").asc())
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc(), F.col("_qord").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = F.last(F.col("_q"), ignorenulls=True).over(w).alias("_qrow")

@@ -15,7 +15,7 @@
       -> verified edges (Jaccard/containment/Hamming; ckpt)
       -> components (iterative min-label propagation)     [ref: idf cluster]
       -> clusters (>=2 members; ckpt)
-      -> plan (windowed keeper; ckpt)                     [ref: idf plan]
+      -> plan (min_by keeper, mega-cluster safe; ckpt)    [ref: idf plan]
 """
 
 from __future__ import annotations
@@ -90,11 +90,16 @@ class DedupPipeline:
         # Compared against the DISTINCT natural-key count, not count(*):
         # the same file listed twice is a legitimate exact duplicate the
         # sha256 pre-pass absorbs, not a hash collision.
+        # distinct keys counted over a STRUCT (never null even when a
+        # key column is null — count_distinct over bare columns skips
+        # null-containing rows and would false-alarm)
         idc = docs_tbl.agg(
-            F.count_distinct("repo", "path", "commit").alias("n_keys"),
+            F.count_distinct(
+                F.struct("repo", "path", "commit")
+            ).alias("n_keys"),
             F.count_distinct("doc_id").alias("n_ids"),
         ).collect()[0]
-        if idc["n_keys"] != idc["n_ids"]:
+        if idc["n_ids"] < idc["n_keys"]:
             raise RuntimeError(
                 f"doc_id collision: {idc['n_keys'] - idc['n_ids']} duplicate "
                 "64-bit ids for distinct (repo, path, commit) keys — "

@@ -131,3 +131,17 @@ def test_resume_different_corpus_recomputes(spark, corpus):
     res2 = pipe2.run(df2)
     assert not any(m.reused for m in pipe2.ckpt.metrics)
     assert res2.documents_hashed.count() == df2.count()
+
+
+def test_null_key_column_does_not_false_alarm_collision_guard(spark):
+    """Null commit (a legitimately incomplete natural key) must not trip
+    the doc_id collision check — count_distinct over bare columns skips
+    null-containing rows; the guard counts a never-null struct."""
+    docs = spark.createDataFrame(
+        [("r", "a.py", None, "py", "alpha beta gamma delta " * 5),
+         ("r", "b.py", None, "py", "totally different words here " * 5)],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    res = DedupPipeline(spark, DedupConfig(),
+                        checkpoint_dir=tempfile.mkdtemp()).run(docs)
+    assert res.documents_hashed.count() == 2  # no RuntimeError

@@ -100,3 +100,45 @@ def test_apply_plan_overrides_noop_without_overrides(spark):
     got = sorted(map(tuple, apply_plan_overrides(plan, empty).collect()))
     want = sorted(map(tuple, plan.collect()))
     assert got == want
+
+
+def test_keeper_null_size_never_wins(spark):
+    """A corrupt member (NULL size) must lose keeper selection — the
+    reference penalizes unreadables so they never win
+    (Commands.java:207-209)."""
+    clusters = spark.createDataFrame(
+        [(1, 1, "r", "real.py", "c", 100), (1, 2, "r", "corrupt.py", "c", None)],
+        "cluster_id long, doc_id long, repo string, path string, "
+        "commit string, size long",
+    )
+    keep = keeper_plan(clusters).filter("action='KEEP'").collect()
+    assert [r.path for r in keep] == ["real.py"]
+
+
+def test_keeper_subsecond_mtime_precision(spark):
+    """mtime tiebreak keeps full timestamp precision: same-second files
+    with different sub-second mtimes keep the OLDER one."""
+    t_older = datetime.datetime(2020, 1, 1, 0, 0, 0, 100000)
+    t_newer = datetime.datetime(2020, 1, 1, 0, 0, 0, 900000)
+    clusters = spark.createDataFrame(
+        [(1, 1, "r", "a_newer.py", "c", 40, t_newer),
+         (1, 2, "r", "b_older.py", "c", 40, t_older)],
+        "cluster_id long, doc_id long, repo string, path string, "
+        "commit string, size long, mtime timestamp",
+    )
+    keep = keeper_plan(clusters).filter("action='KEEP'").collect()
+    assert [r.path for r in keep] == ["b_older.py"]
+
+
+def test_clusters_table_gate_counts_after_signature_join(spark):
+    """A cluster whose members are partly absent from signatures (e.g.
+    a lang-filtered table) must not emit a sub-min_size 'cluster'."""
+    comps = spark.createDataFrame(
+        [(1, 7), (2, 7), (3, 9), (4, 9)], "doc_id long, cluster_id long"
+    )
+    sigs = spark.createDataFrame(
+        [(1, "r", "p1", "c", 10), (3, "r", "p3", "c", 10), (4, "r", "p4", "c", 10)],
+        "doc_id long, repo string, path string, commit string, size long",
+    )
+    out = clusters_table(comps, sigs)
+    assert {r.cluster_id for r in out.collect()} == {9}  # cluster 7 -> 1 row only
