@@ -1002,6 +1002,28 @@ SELECT o_custkey AS custkey FROM (
 """
 
 
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join operator coverage: customers that never placed an
+    order (left_anti — the NOT EXISTS shape; Catalyst plans a
+    broadcast/shuffled hash anti-join, never a subquery-per-row)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o.select(F.col("o_custkey").alias("c_custkey")),
+               on="c_custkey", how="left_anti")
+        .select("c_custkey", "c_nationkey", _cents(F.col("c_acctbal"))
+                .alias("acctbal_cents"))
+    )
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_nationkey,
+       CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
 def q_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (custom operator Spark lacks natively,
     operators/temporal.py): for every click event, the user's LATEST
@@ -1503,6 +1525,7 @@ QUERIES: dict[str, QueryFn] = {
     "order_priority_pivot": q_order_priority_pivot,
     "repeat_customers_setops": q_repeat_customers_setops,
     "event_user_reach": q_event_user_reach,
+    "customers_without_orders": q_customers_without_orders,
     "asof_click_purchase": q_asof_click_purchase,
     "range_purchase_followups": q_range_purchase_followups,
     # dedup via sketch + Hamming LSH (oracle: portable simhash in SQL)
@@ -1549,6 +1572,7 @@ ORACLES: dict[str, str] = {
     "order_priority_pivot": SQL_ORDER_PRIORITY_PIVOT,
     "repeat_customers_setops": SQL_REPEAT_CUSTOMERS_SETOPS,
     "event_user_reach": SQL_EVENT_USER_REACH,
+    "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
     "asof_click_purchase": SQL_ASOF_CLICK_PURCHASE,
     "range_purchase_followups": SQL_RANGE_PURCHASE_FOLLOWUPS,
 }
