@@ -15,18 +15,24 @@ Scale notes (north_rule: skew handled explicitly):
   would otherwise emit O(size^2) pairs on a single shuffle key. Exact
   duplicates never reach here (collapsed by the sha256 pre-pass), so a
   capped band only loses candidates between *near*-identical
-  boilerplate docs, and the drop is logged to the metrics table;
+  boilerplate docs, and the pipeline checkpoints the capped-band stats
+  (``band_stats``) so the drop is visible;
 - the pair self-join is an equi-join on (band_id, band_hash) which AQE
   can split further if residual skew remains.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
+from pyspark.sql.functions import pandas_udf
 
 from imageduplicatefinder_spark.config import DedupConfig
+from imageduplicatefinder_spark.functions.fingerprints import band_hashes_numpy
 
 
 def band_table(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
@@ -34,8 +40,12 @@ def band_table(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
 
     When the fingerprint UDF precomputed per-band hashes (``bands``
     column), this is a pure posexplode; otherwise band hashes are
-    derived JVM-side from signature slices (64 slice+hash expressions —
-    the slower fallback for externally-produced signature tables).
+    derived from the ``minhash`` column with THE SAME numpy kernel the
+    fingerprint UDF uses (``band_hashes_numpy`` via a pandas UDF) — the
+    two paths MUST emit one hash family, because band tables from both
+    are equi-joined against each other (e.g. incremental_dedup joins a
+    minhash-only historical table against fresh UDF output; a second
+    hash family would silently match nothing across the corpora).
 
     Docs below ``cfg.min_tokens`` tokens are excluded (no meaningful
     shingles — the degenerate/solid-color analog,
@@ -47,21 +57,21 @@ def band_table(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
             "doc_id", F.posexplode("bands").alias("band_id", "band_hash")
         )
     b, r = cfg.lsh_bands, cfg.lsh_rows
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band_id"),
-                F.xxhash64(F.slice("minhash", i * r + 1, r), F.lit(i)).alias(
-                    "band_hash"
-                ),
-            )
-            for i in range(b)
-        ]
-    )
-    return (
-        filtered
-        .select("doc_id", F.explode(bands).alias("band"))
-        .select("doc_id", "band.band_id", "band.band_hash")
+
+    @pandas_udf("array<long>")
+    def bands_of(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for mh in batches:
+            mat = np.array(list(mh), dtype=np.int64)
+            if mat.size == 0:
+                yield pd.Series([], dtype=object)
+                continue
+            out = band_hashes_numpy(mat, b, r)
+            yield pd.Series([row.tolist() for row in out])
+
+    return filtered.select(
+        "doc_id", F.posexplode(bands_of(F.col("minhash"))).alias(
+            "band_id", "band_hash"
+        )
     )
 
 
@@ -80,8 +90,10 @@ def capped_bands(bands: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataFra
     sha256 pre-pass collapsed them), so sampling only thins candidates
     between near-identical boilerplate docs.
 
-    band_stats: (band_id, band_hash, band_size, capped:boolean) — fed to
-    the metrics table so dropped candidates are visible, not silent.
+    band_stats: (band_id, band_hash, band_size, capped:boolean) — the
+    pipeline checkpoints the capped subset as its own ``band_stats``
+    table so dropped candidates are visible, not silent; standalone
+    callers must consume the returned stats themselves.
     """
     bands = bands.localCheckpoint(eager=False)  # scanned twice below
     sizes = bands.groupBy("band_id", "band_hash").agg(

@@ -78,7 +78,21 @@ def verify_pairs(
         )
     else:
         # MinHash estimate: fraction of equal signature slots is an
-        # unbiased estimator of Jaccard similarity.
+        # unbiased estimator of Jaccard similarity. Containment has NO
+        # symmetric-MinHash estimator, so the containment >= threshold
+        # clause of the verify rule is INACTIVE in this mode — warn
+        # loudly: embedded/watermark-style duplicates (low Jaccard, high
+        # containment) will not verify without shingle sets.
+        import warnings
+
+        warnings.warn(
+            "verify_pairs: signatures carry no shingle sets — containment "
+            "verification is disabled (containment=0.0 for every pair); "
+            "embedded-snippet duplicates will NOT be detected. Compute "
+            "signatures with keep_shingles=True for full recall.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         eq = F.size(
             F.filter(
                 F.zip_with("minhash_src", "minhash_dst", lambda x, y: x == y),

@@ -54,7 +54,22 @@ def input_signature(df: DataFrame) -> str:
         files = sorted(df.inputFiles())
     except Exception:  # noqa: BLE001 - non-file sources
         files = []
-    ident = json.dumps({"files": files, "schema": df.schema.simpleString()})
+    stats = []
+    for f in files:
+        # local files also carry (size, mtime): an in-place overwrite of
+        # the same path must change the signature (paths alone would
+        # silently replay the previous corpus). Non-local URIs fall back
+        # to path-only identity (object stores are immutable-by-key in
+        # practice; a Hadoop-FS status call would cover the rest).
+        if f.startswith("file:"):
+            try:
+                st = os.stat(f[len("file:"):])
+                stats.append((f, st.st_size, int(st.st_mtime)))
+                continue
+            except OSError:
+                pass
+        stats.append((f, -1, -1))
+    ident = json.dumps({"files": stats, "schema": df.schema.simpleString()})
     if not files:
         ident += f"|count={df.count()}"
     return hashlib.sha256(ident.encode()).hexdigest()[:16]
@@ -73,7 +88,9 @@ def _footer_partition_rows(d: str) -> dict[int, int]:
         if not name.endswith(".parquet") or name.startswith("_"):
             continue
         m = _PART_RE.match(name)
-        pid = int(m.group(1)) if m else i
+        # fallback pids live in a negative namespace so a non part-NNNNN
+        # file can never collide with (and overwrite) a parsed pid
+        pid = int(m.group(1)) if m else -(i + 1)
         out[pid] = pq.ParquetFile(os.path.join(d, name)).metadata.num_rows
     return out
 
@@ -106,10 +123,14 @@ class CheckpointManager:
         if not (os.path.exists(meta_path)
                 and os.path.exists(os.path.join(d, "_SUCCESS"))):
             return False
-        if self.input_sig is not None:
+        try:
             meta = json.load(open(meta_path))
-            if meta.get("input_sig") != self.input_sig:
-                return False  # same config, DIFFERENT corpus: recompute
+        except (OSError, json.JSONDecodeError):
+            # a truncated sidecar (crash mid-dump) means "checkpoint
+            # absent": recompute instead of permanently failing resume
+            return False
+        if self.input_sig is not None and meta.get("input_sig") != self.input_sig:
+            return False  # same config, DIFFERENT corpus: recompute
         return True
 
     def materialize(self, stage: str, df_fn, num_partitions: int | None = None) -> DataFrame:
@@ -124,6 +145,11 @@ class CheckpointManager:
             self.metrics.append(
                 StageMetric(stage, self.config_hash, meta["rows"],
                             meta["n_partitions"], time.monotonic() - t0, True)
+            )
+            # durable proof of WHAT a resumed run reused: the same
+            # per-partition rows, flagged reused=true in _metrics
+            self._append_metrics_table(
+                {**meta, "wall_s": time.monotonic() - t0}, reused=True
             )
             return out
 
@@ -154,17 +180,18 @@ class CheckpointManager:
         self.metrics.append(
             StageMetric(stage, self.config_hash, rows, len(part_rows), wall, False)
         )
-        self._append_metrics_table(meta)
+        self._append_metrics_table(meta, reused=False)
         return out
 
-    def _append_metrics_table(self, meta: dict) -> None:
+    def _append_metrics_table(self, meta: dict, reused: bool) -> None:
         # buffered: one tiny parquet append per stage would cost a Spark
         # job each; rows accumulate and flush once per pipeline run
         rows = [
             (meta["stage"], meta["config_hash"], int(pid), int(cnt),
-             float(meta["wall_s"]))
+             float(meta["wall_s"]), reused)
             for pid, cnt in meta["partitions"].items()
-        ] or [(meta["stage"], meta["config_hash"], -1, 0, float(meta["wall_s"]))]
+        ] or [(meta["stage"], meta["config_hash"], -1, 0,
+               float(meta["wall_s"]), reused)]
         self._pending_metric_rows.extend(rows)
 
     def flush_metrics(self) -> None:
@@ -173,7 +200,7 @@ class CheckpointManager:
         mdf = self.spark.createDataFrame(
             self._pending_metric_rows,
             "stage string, config_hash string, partition_id int, "
-            "rows long, wall_s double",
+            "rows long, wall_s double, reused boolean",
         )
         mdf.coalesce(1).write.mode("append").parquet(
             os.path.join(self.root, "_metrics")

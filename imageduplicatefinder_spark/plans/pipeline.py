@@ -130,9 +130,24 @@ class DedupPipeline:
 
         signatures = self.ckpt.materialize("signatures", build_signatures)
 
-        bands = self.ckpt.materialize(
-            "bands",
-            lambda: capped_bands(band_table(signatures, cfg), cfg)[0],
+        # capped-band drop accounting is DURABLE: the hot-band stats ride
+        # as their own (tiny) checkpoint so an operator investigating
+        # missed duplicates can see which bands were down-sampled
+        _stats_holder: dict = {}
+
+        def build_bands() -> DataFrame:
+            kept, stats = capped_bands(band_table(signatures, cfg), cfg)
+            _stats_holder["stats"] = stats
+            return kept
+
+        bands = self.ckpt.materialize("bands", build_bands)
+        self.ckpt.materialize(
+            "band_stats",
+            lambda: (
+                _stats_holder["stats"]
+                if "stats" in _stats_holder
+                else capped_bands(band_table(signatures, cfg), cfg)[1]
+            ).filter(F.col("capped")),
         )
         cands = self.ckpt.materialize(
             "candidates", lambda: pairs_from_capped_bands(bands)

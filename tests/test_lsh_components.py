@@ -145,3 +145,24 @@ def test_cc_warn_mode_returns_partial(spark):
             _edges(spark, chain), max_iterations=2, on_nonconverged="warn"
         ).collect()
     assert len(rows) == 13
+
+
+def test_band_table_fallback_matches_udf_family(spark):
+    """The minhash-derived fallback bands MUST equal the UDF-precomputed
+    bands: tables from the two paths are equi-joined against each other
+    (incremental dedup vs an external signature table), so two hash
+    families would silently match nothing."""
+    from imageduplicatefinder_spark.operators.signatures import compute_signatures
+
+    docs = spark.createDataFrame(
+        [("r", f"f{i}.py", "c", "py", f"alpha beta gamma doc{i} " * 10)
+         for i in range(6)],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    cfg = DedupConfig()
+    sig = compute_signatures(docs, cfg)
+    with_udf = {(r.doc_id, r.band_id, r.band_hash)
+                for r in band_table(sig, cfg).collect()}
+    fallback = {(r.doc_id, r.band_id, r.band_hash)
+                for r in band_table(sig.drop("bands"), cfg).collect()}
+    assert with_udf == fallback and len(with_udf) == 6 * cfg.lsh_bands

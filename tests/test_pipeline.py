@@ -145,3 +145,37 @@ def test_null_key_column_does_not_false_alarm_collision_guard(spark):
     res = DedupPipeline(spark, DedupConfig(),
                         checkpoint_dir=tempfile.mkdtemp()).run(docs)
     assert res.documents_hashed.count() == 2  # no RuntimeError
+
+
+def test_corrupt_meta_sidecar_recomputes(spark, corpus):
+    """A truncated _meta.json (crash mid-dump) must read as 'checkpoint
+    absent' and recompute — not permanently fail every resume."""
+    import os
+
+    df = corpus_to_dataframe(spark, corpus)
+    d = tempfile.mkdtemp()
+    DedupPipeline(spark, DedupConfig(), checkpoint_dir=d).run(df)
+    # corrupt one stage's sidecar
+    cfg_hash = DedupConfig().config_hash()
+    meta = os.path.join(d, "signatures", cfg_hash, "_meta.json")
+    with open(meta, "w") as f:
+        f.write('{"stage": "signatu')  # truncated
+    pipe2 = DedupPipeline(spark, DedupConfig(), checkpoint_dir=d)
+    pipe2.run(df)  # must not raise
+    by_stage = {m.stage: m.reused for m in pipe2.ckpt.metrics}
+    assert by_stage["signatures"] is False      # recomputed
+    assert by_stage["documents_hashed"] is True  # others still reused
+
+
+def test_metrics_table_records_reused_rows(spark, corpus):
+    """Resumed runs append reused=true rows to the durable _metrics
+    table — the per-partition proof of what a resume reused."""
+    df = corpus_to_dataframe(spark, corpus)
+    d = tempfile.mkdtemp()
+    p1 = DedupPipeline(spark, DedupConfig(), checkpoint_dir=d)
+    p1.run(df)
+    p2 = DedupPipeline(spark, DedupConfig(), checkpoint_dir=d)
+    p2.run(df)
+    m = p2.ckpt.metrics_table()
+    assert m.filter("reused").count() > 0
+    assert m.filter("NOT reused").count() > 0
