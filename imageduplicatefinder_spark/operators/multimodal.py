@@ -142,10 +142,17 @@ def phash64(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
-            if mat.ndim == 1:  # empty batch guard
+            if len(pdf) == 0:
                 yield pd.DataFrame({"id": [], "phash": []})
                 continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if mat.ndim != 2:
+                # ragged feature lengths would otherwise collapse to a
+                # 1-D object array and silently drop the batch
+                raise ValueError(
+                    "phash64: feature vectors must all have the same "
+                    "length within a batch (got ragged arrays)"
+                )
             n, d = mat.shape
             if d < 64:
                 mat = np.pad(mat, ((0, 0), (0, 64 - d)))

@@ -56,6 +56,14 @@ def blocked_cosine_pairs(
     O(n^2/2) multiply-adds spread over B(B+1)/2 independent tasks —
     pick ``n_blocks`` ~ sqrt(2 x cores) so every core gets a tile.
     Output: (out_a, out_b, cosine_milli) with out_a < out_b.
+
+    Cross-engine caveat: BLAS uses pairwise float64 summation while a
+    SQL oracle folds sequentially, so a cosine landing within a few
+    ulps of the threshold or of a .001 milli boundary can round
+    differently across engines. The operator's exactness is therefore
+    property-tested against an in-process brute force
+    (tests/test_similarity.py) — the SQL parity check is an additional
+    signal, not the definition.
     """
     base = df.select(
         F.col(id_col).alias("_id"),
@@ -128,7 +136,11 @@ def train_centroids(
         .limit(4096)
         .collect()
     )
+    if not sample:
+        raise ValueError("train_centroids: embeddings table is empty")
     mat = np.array([r[1] for r in sample], dtype=np.float64)
+    # fewer vectors than requested lists: every vector is its own list
+    nlist = min(nlist, mat.shape[0])
     rng = np.random.default_rng(seed)
     centroids = mat[rng.choice(mat.shape[0], size=nlist, replace=False)]
     # one Lloyd refinement
@@ -184,6 +196,9 @@ def ivf_topk(
     """
     centroids = train_centroids(embeddings, nlist=nlist, seed=seed,
                                 id_col=id_col, vec_col=vec_col)
+    # the trained quantizer may have fewer lists than requested (tiny
+    # table); probing more lists than exist would crash the repeat/ravel
+    nprobe = min(nprobe, centroids.shape[0])
     listed = assign_lists(embeddings, centroids, id_col, vec_col)
 
     spark = embeddings.sparkSession

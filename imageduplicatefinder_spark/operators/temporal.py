@@ -57,6 +57,12 @@ def asof_join(
         quote_cols = [c for c in quote.columns if c not in (on, ts_col)]
     if tiebreak_cols is None:
         tiebreak_cols = quote_cols
+    # SQL ASOF semantics for nulls: a NULL-ts quote satisfies no
+    # ``probe.ts >= quote.ts`` predicate and a NULL key matches no key —
+    # drop them up front (the window would otherwise sort a NULL-ts
+    # quote FIRST and carry it as a fabricated match, and partitionBy
+    # groups NULL keys together unlike an equality join)
+    quote = quote.filter(F.col(on).isNotNull() & F.col(ts_col).isNotNull())
     # the quote row is carried as ONE struct so the matched quote stays
     # atomic — carrying columns independently with last(ignorenulls)
     # would backfill a NULL column of the latest quote from an OLDER

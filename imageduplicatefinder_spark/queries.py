@@ -39,21 +39,27 @@ def _words(col: str = "text") -> Column:
     return F.split(F.col(col), " ")
 
 
-def _shingles_expr(w: Column) -> Column:
-    """Distinct word-3-gram shingles; docs shorter than 3 words collapse
-    to one padded shingle (matches the DuckDB CTE below exactly)."""
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(w) - F.lit(2), F.lit(1))),
-            lambda i: F.concat(
-                F.coalesce(F.get(w, i - 1), F.lit("")),
-                F.lit(" "),
-                F.coalesce(F.get(w, i), F.lit("")),
-                F.lit(" "),
-                F.coalesce(F.get(w, i + 1), F.lit("")),
-            ),
-        )
+def _grams_expr(w: Column) -> Column:
+    """ORDERED word-3-gram strings; docs shorter than 3 words collapse
+    to one padded gram (matches the DuckDB CTE below exactly). The one
+    Spark-side gram builder — _shingles_expr and the winnowing query
+    both derive from it, so the cross-engine string construction cannot
+    silently desynchronize between call sites."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(w) - F.lit(2), F.lit(1))),
+        lambda i: F.concat(
+            F.coalesce(F.get(w, i - 1), F.lit("")),
+            F.lit(" "),
+            F.coalesce(F.get(w, i), F.lit("")),
+            F.lit(" "),
+            F.coalesce(F.get(w, i + 1), F.lit("")),
+        ),
     )
+
+
+def _shingles_expr(w: Column) -> Column:
+    """Distinct word-3-gram shingles (set semantics over _grams_expr)."""
+    return F.array_distinct(_grams_expr(w))
 
 
 # document-frequency cap: shingles present in more than this many docs
@@ -470,17 +476,7 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash is md5-based so the DuckDB oracle computes identical values.
     """
     w = _words()
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(w) - F.lit(2), F.lit(1))),
-        lambda i: F.concat(
-            F.coalesce(F.get(w, i - 1), F.lit("")),
-            F.lit(" "),
-            F.coalesce(F.get(w, i), F.lit("")),
-            F.lit(" "),
-            F.coalesce(F.get(w, i + 1), F.lit("")),
-        ),
-    )
-    h = F.transform(grams, lambda g: _hex8_to_long_spark(F.md5(g)))
+    h = F.transform(_grams_expr(w), lambda g: _hex8_to_long_spark(F.md5(g)))
     mins = F.transform(
         F.sequence(
             F.lit(1), F.greatest(F.size(h) - F.lit(_WINNOW_W - 1), F.lit(1))
@@ -711,6 +707,22 @@ FROM pairs WHERE cos >= 0.95
 """
 
 
+def q_embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same distributed block-matrix operator at a looser threshold
+    (0.4): the 0.95 near-dup query is semantically right but the
+    synthetic embeddings contain no true near-dups (max off-diagonal
+    cosine ~0.60), so its parity check compares empty sets — this
+    variant produces real rows at every scale factor, making the
+    cross-engine value-hash check non-vacuous for the block kernel."""
+    from imageduplicatefinder_spark.operators.similarity import blocked_cosine_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return blocked_cosine_pairs(emb, threshold=0.4, n_blocks=8)
+
+
+SQL_EMBEDDING_SIMILAR_PAIRS = SQL_EMBEDDING_NEAR_DUP_PAIRS.replace("0.95", "0.4")
+
+
 # ---------------------------------------------------------------------------
 # D. relational analytics (general operator surface: scan/filter/agg/join/
 #    window/top-k — SURVEY §2.1-2.6 general mappings)
@@ -911,14 +923,20 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# gaps are defined on WHOLE-SECOND epochs (Spark's unix_timestamp
+# floors fractional seconds), so the oracle floors too — a raw
+# epoch() double gap of 1800.6s between whole-second gap 1800 would
+# otherwise flag a session on one engine only
 SQL_USER_SESSIONS = """
-WITH flagged AS (
+WITH fe AS (
+  SELECT user_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events
+), flagged AS (
   SELECT user_id,
-         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+         CASE WHEN ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts)
                    > 1800
-              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              OR lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
               THEN 1 ELSE 0 END AS new_sess
-  FROM events
+  FROM fe
 )
 SELECT user_id, count(*) AS n_events, sum(new_sess)::BIGINT AS n_sessions
 FROM flagged GROUP BY user_id
@@ -1513,6 +1531,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_norms": q_embedding_norms,
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
+    "embedding_similar_pairs": q_embedding_similar_pairs,
     # relational analytics
     "pricing_summary": q_pricing_summary,
     "top_orders_by_revenue": q_top_orders_by_revenue,
@@ -1561,6 +1580,7 @@ ORACLES: dict[str, str] = {
     "embedding_norms": SQL_EMBEDDING_NORMS,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "embedding_near_dup_pairs": SQL_EMBEDDING_NEAR_DUP_PAIRS,
+    "embedding_similar_pairs": SQL_EMBEDDING_SIMILAR_PAIRS,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "top_orders_by_revenue": SQL_TOP_ORDERS_BY_REVENUE,
     "region_customer_rollup": SQL_REGION_CUSTOMER_ROLLUP,

@@ -102,3 +102,13 @@ def test_train_centroids_partitioning_invariant(spark, emb):
     a = train_centroids(emb.repartition(7), nlist=8)
     b = train_centroids(emb.repartition(3, "vec_id"), nlist=8)
     assert (a == b).all()
+
+
+def test_ivf_small_table_clamps_nlist_and_nprobe(spark):
+    """Fewer vectors than requested lists (and nprobe > nlist) must not
+    crash — the quantizer clamps to the population."""
+    rows = [(i, [float(i == j) for j in range(8)]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = ivf_topk(df, df.filter(F.col("vec_id") < 2), k=3,
+                   nlist=16, nprobe=32)
+    assert out.count() >= 0  # executes without shape errors

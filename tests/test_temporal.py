@@ -139,3 +139,21 @@ def test_asof_equal_ts_quotes_deterministic(spark):
                       quote_cols=["q_id", "v"]).collect()[0]
         outs.add((r.asof_q_id, r.asof_v))
     assert len(outs) == 1
+
+
+def test_asof_null_ts_and_null_key_quotes_never_match(spark):
+    """SQL ASOF semantics: a NULL-ts quote satisfies no >= predicate
+    and NULL keys never join — neither may be carried as a match."""
+    probe = spark.createDataFrame(
+        [(1, 1, _ts(5))], "event_id long, user_id long, ts timestamp"
+    )
+    quote = spark.createDataFrame(
+        [(10, 1, None, 7.0), (11, None, _ts(1), 8.0)],
+        "q_id long, user_id long, ts timestamp, v double",
+    )
+    inner = asof_join(probe, quote, on="user_id", ts_col="ts",
+                      quote_cols=["q_id", "v"]).collect()
+    assert inner == []  # no fabricated match
+    left = asof_join(probe, quote, on="user_id", ts_col="ts",
+                     quote_cols=["q_id", "v"], how="left").collect()
+    assert len(left) == 1 and left[0].asof_q_id is None
