@@ -34,7 +34,8 @@ class DedupConfig:
     # --- LSH banding ----------------------------------------------
     # bands * rows_per_band == num_perm.  64x2 targets high recall at
     # the j>=0.5 operating point: P(candidate | j) = 1-(1-j^2)^64 —
-    # ~0.9845 at j=0.5, ~1-3e-13 at j=0.6, while genuinely-unrelated
+    # ~1-1e-8 at j=0.5 (0.75^64 ≈ 1.0e-8), ~1-4e-13 at j=0.6
+    # (0.64^64 ≈ 3.9e-13), while genuinely-unrelated
     # pairs (measured cross-pair j <= 0.011 on the planted corpus)
     # collide with P < 0.008. The recall target (>=0.99 on dup pairs)
     # binds through each member's strongest link (vs the family base,

@@ -74,10 +74,12 @@ def containment_verify(pairs: DataFrame, documents: DataFrame) -> DataFrame:
 
 
 def containment_verify_grouped(pairs: DataFrame, documents: DataFrame) -> DataFrame:
-    """Grouped form: candidate pairs grouped per larger-side document so
-    one host's content is deserialized once per group instead of once
-    per pair (matters when a popular host — a vendored library, a big
-    generated file — attracts thousands of candidates).
+    """Grouped form: candidate pairs grouped per larger-side document
+    (the HOST — not per dst, which is merely the greater doc_id) so one
+    host's content is deserialized and canonicalized once per group
+    instead of once per pair (matters when a popular host — a vendored
+    library, a big generated file — attracts thousands of candidates,
+    regardless of whether its doc_id sorts first or last in the pair).
 
     Same output schema as containment_verify.
     """
@@ -87,29 +89,43 @@ def containment_verify_grouped(pairs: DataFrame, documents: DataFrame) -> DataFr
                             F.col("content").alias("content_src")), on="src")
         .join(c.select(F.col("doc_id").alias("dst"),
                        F.col("content").alias("content_dst")), on="dst")
+        .withColumn(
+            "host_id",
+            F.when(
+                F.length("content_dst") >= F.length("content_src"), F.col("dst")
+            ).otherwise(F.col("src")),
+        )
     )
 
     def check_group(pdf: pd.DataFrame) -> pd.DataFrame:
         out = {"src": [], "dst": [], "contained": [],
                "contained_canonical": [], "offset": []}
-        # all rows share dst: canonicalize the host once
-        big = pdf["content_dst"].iloc[0]
-        big_canon = _canon(big)
-        for src, dst, ca in zip(pdf["src"], pdf["dst"], pdf["content_src"]):
-            small, host, host_canon = ca, big, big_canon
-            if len(ca) > len(big):
-                small, host, host_canon = big, ca, _canon(ca)
+        # all rows share host_id: canonicalize the host lazily, once
+        first = pdf.iloc[0]
+        host = (first["content_dst"] if first["dst"] == first["host_id"]
+                else first["content_src"])
+        host_canon = None
+        for src, dst, ca, cb in zip(
+            pdf["src"], pdf["dst"], pdf["content_src"], pdf["content_dst"]
+        ):
+            small = ca if dst == first["host_id"] else cb
             off = host.find(small) if small else 0
+            canon_hit = off >= 0
+            if not canon_hit:
+                if host_canon is None:
+                    host_canon = _canon(host)
+                canon_hit = _canon(small) in host_canon
             out["src"].append(src)
             out["dst"].append(dst)
             out["contained"].append(off >= 0)
-            out["contained_canonical"].append(
-                off >= 0 or _canon(small) in host_canon
-            )
+            out["contained_canonical"].append(canon_hit)
             out["offset"].append(off)
         return pd.DataFrame(out)
 
-    return joined.groupBy("dst").applyInPandas(check_group, CONTAINMENT_SCHEMA)
+    return (
+        joined.groupBy("host_id")
+        .applyInPandas(check_group, CONTAINMENT_SCHEMA)
+    )
 
 
 def containment_candidates(

@@ -47,11 +47,12 @@ def verify_pairs(
     frame (pre-filter) is useful for threshold tuning.
     """
     has_shingles = "shingles" in signatures.columns
+    has_minhash = "minhash" in signatures.columns
     cols = ["simhash"]
     if has_shingles:
         cols.append("shingles")
-    else:
-        cols.append("minhash")  # estimate fallback needs the signature
+    if not has_shingles or has_minhash:
+        cols.append("minhash")  # estimate path / per-row NULL fallback
     df = _attach(_attach(pairs, signatures, "src", cols), signatures, "dst", cols)
 
     df = df.withColumn(
@@ -62,16 +63,42 @@ def verify_pairs(
         sa = F.size("shingles_src")
         sb = F.size("shingles_dst")
         union = sa + sb - inter
+        both = F.col("shingles_src").isNotNull() & F.col("shingles_dst").isNotNull()
+        # Per-row fallback: a union of a shingle-bearing table with a
+        # minhash-only one (incremental_dedup joining a fresh batch
+        # against a footprint-trimmed historical corpus) leaves NULL
+        # shingles on one side. array_intersect(NULL, x) is NULL, which
+        # would silently zero jaccard/containment for every mixed pair —
+        # instead estimate jaccard from the MinHash signatures when they
+        # were kept (containment has no symmetric-MinHash estimator, so
+        # it stays 0.0 for mixed pairs: embedded-snippet dups need
+        # shingles on both sides).
+        if has_minhash:
+            est = F.coalesce(
+                F.size(
+                    F.filter(
+                        F.zip_with("minhash_src", "minhash_dst", lambda x, y: x == y),
+                        lambda v: v,
+                    )
+                )
+                / F.size("minhash_src"),
+                F.lit(0.0),
+            )
+        else:
+            est = F.lit(0.0)
         df = (
             df.withColumn("_inter", inter)
             .withColumn(
                 "jaccard",
-                F.when(union > 0, F.col("_inter") / union).otherwise(F.lit(0.0)),
+                F.when(
+                    both,
+                    F.when(union > 0, F.col("_inter") / union).otherwise(F.lit(0.0)),
+                ).otherwise(est),
             )
             .withColumn(
                 "containment",
                 F.when(
-                    F.least(sa, sb) > 0, F.col("_inter") / F.least(sa, sb)
+                    both & (F.least(sa, sb) > 0), F.col("_inter") / F.least(sa, sb)
                 ).otherwise(F.lit(0.0)),
             )
             .drop("_inter")

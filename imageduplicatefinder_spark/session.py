@@ -8,8 +8,27 @@ partitions sized to the stage, not the 200 default).
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
+
+# every valid local master shape: "local", "local[N]", "local[*]", and
+# the retry form "local[N,M]" / "local[*,M]"
+_LOCAL_MASTER = re.compile(r"local(?:\[(\*|\d+)(?:,\d+)?\])?$")
+
+
+def _local_cores(master: str) -> int | None:
+    """Parallelism implied by a local master string, or None if the
+    master is not local (cluster managers size shuffles differently)."""
+    m = _LOCAL_MASTER.fullmatch(master)
+    if m is None:
+        return None
+    spec = m.group(1)
+    if spec is None:       # bare "local" is single-threaded
+        return 1
+    if spec == "*":
+        return os.cpu_count() or 1
+    return int(spec)
 
 
 def get_spark(
@@ -22,11 +41,7 @@ def get_spark(
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
         # match parallelism in local mode instead of the 200 default
-        n = cpus if master.startswith("local[") else "200"
-        try:
-            shuffle_partitions = int(master[6:-1]) if master[6:-1].isdigit() else int(n)
-        except ValueError:
-            shuffle_partitions = 32
+        shuffle_partitions = _local_cores(master) or 200
 
     builder = (
         SparkSession.builder.master(master)

@@ -66,7 +66,9 @@ def ingest_window_stats(
         .groupBy(F.window("ts", window).alias("win"), "lang")
         .agg(
             F.count("*").alias("n_docs"),
-            F.sum(F.length("content")).alias("total_bytes"),
+            # octet_length, not length: length() counts characters, which
+            # under-reports UTF-8 multibyte ingest volume up to 4x
+            F.sum(F.octet_length("content")).alias("total_bytes"),
         )
         .select(
             F.col("win.start").alias("window_start"),
@@ -121,7 +123,11 @@ def incremental_dedup(
         sigs = compute_signatures(
             batch_df.select("repo", "path", "commit", "lang", "content"), cfg
         ).localCheckpoint(eager=True)
-        new_bands = band_table(sigs, cfg)
+        # cap the batch's own bands too: with trigger(availableNow) a
+        # whole backlog can land in one batch, and an uncapped mega-band
+        # (license boilerplate) self-pairs quadratically on one
+        # (band_id, band_hash) key — the exact skew capped_bands exists for
+        new_bands, _ = capped_bands(band_table(sigs, cfg), cfg)
         all_bands = hist_bands.unionByName(new_bands)
         cands = (
             new_bands.withColumnRenamed("doc_id", "new_id")
@@ -133,11 +139,21 @@ def incremental_dedup(
             )
             .distinct()
         )
+        # allowMissingColumns: a minhash-only history table unions with
+        # NULL shingles; verify_pairs falls back to the MinHash jaccard
+        # estimate per mixed row (see operators/verify.py)
         combined = hist_sigs.unionByName(sigs, allowMissingColumns=True)
         edges = verify_pairs(cands, combined, cfg).filter(SF.col("verified"))
-        edges.withColumn("batch_id", SF.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(edges_out)
+        # foreachBatch is at-least-once: partition by batch_id and
+        # dynamically overwrite that partition so a replayed batch
+        # replaces its own output instead of appending duplicate edges
+        (
+            edges.withColumn("batch_id", SF.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(edges_out)
+        )
 
     return (
         documents_stream.writeStream.foreachBatch(process)
@@ -174,13 +190,23 @@ def stateful_dup_tracker(documents_stream: DataFrame) -> DataFrame:
         first_path, first_ts, dup_count = (
             state.get if state.exists else (None, None, 0)
         )
+        # a hot key's rows can span several Arrow chunks (4096-row
+        # batches); first-seen must be the global (ts, path) minimum
+        # across ALL chunks, not the head of whichever chunk arrived
+        # first — so accumulate a candidate minimum and a total count,
+        # then settle first/dup_count once at the end
+        n_new = 0
         for pdf in batches:
-            pdf = pdf.sort_values("ts")
-            for path, ts in zip(pdf["path"], pdf["ts"]):
-                if first_path is None:
-                    first_path, first_ts = path, ts
-                else:
-                    dup_count += 1
+            if len(pdf) == 0:
+                continue
+            n_new += len(pdf)
+            head = pdf.sort_values(["ts", "path"]).iloc[0]
+            if first_ts is None or (head["ts"], head["path"]) < (first_ts, first_path):
+                if first_ts is not None:
+                    dup_count += 1  # the displaced first-seen becomes a dup
+                first_path, first_ts = head["path"], head["ts"]
+                n_new -= 1  # the new first-seen row is not a duplicate
+        dup_count += n_new
         state.update((first_path, first_ts, dup_count))
         yield pd.DataFrame(
             {

@@ -45,8 +45,10 @@ def test_containment_verify_grouped_matches_plain(spark):
         ],
         "doc_id long, content string",
     )
+    # (2,3)/(2,4): the bigger host doc 2 sits on the SRC side (smaller
+    # doc_id) — the grouped form must group by the host, not by dst
     pairs = spark.createDataFrame(
-        [(1, 2), (3, 2), (4, 2), (2, 5)], "src long, dst long"
+        [(1, 2), (3, 2), (4, 2), (2, 5), (2, 3), (2, 4)], "src long, dst long"
     )
     plain = {(r.src, r.dst): (r.contained, r.contained_canonical, r.offset)
              for r in containment_verify(pairs, docs).collect()}

@@ -166,3 +166,32 @@ def test_band_table_fallback_matches_udf_family(spark):
     fallback = {(r.doc_id, r.band_id, r.band_hash)
                 for r in band_table(sig.drop("bands"), cfg).collect()}
     assert with_udf == fallback and len(with_udf) == 6 * cfg.lsh_bands
+
+
+def test_verify_pairs_mixed_null_shingles_falls_back_to_estimate(spark):
+    """Union of a shingled table with a minhash-only one (NULL shingles):
+    mixed pairs must verify via the MinHash jaccard estimate instead of
+    silently scoring 0.0 (the incremental_dedup history scenario)."""
+    from imageduplicatefinder_spark.config import DedupConfig
+    from imageduplicatefinder_spark.operators.signatures import compute_signatures
+    from imageduplicatefinder_spark.operators.verify import verify_pairs
+
+    cfg = DedupConfig()
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    schema = "repo string, path string, commit string, lang string, content string"
+    hist = compute_signatures(
+        spark.createDataFrame([("r", "old.py", "c0", "py", base)], schema),
+        cfg, keep_shingles=False,
+    )
+    new = compute_signatures(
+        spark.createDataFrame(
+            [("r", "new.py", "c1", "py", base + " tiny tail")], schema
+        ),
+        cfg, keep_shingles=True,
+    )
+    combined = hist.unionByName(new, allowMissingColumns=True)
+    ids = sorted(r.doc_id for r in combined.select("doc_id").collect())
+    pairs = spark.createDataFrame([tuple(ids)], "src long, dst long")
+    row = verify_pairs(pairs, combined, cfg).collect()[0]
+    assert row.jaccard > 0.8        # estimate, not the silent 0.0
+    assert row.verified
