@@ -1388,6 +1388,86 @@ def q_gradsign_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                          sketch_col="simhash")
 
 
+def _portable_gradsign(docs: DataFrame) -> DataFrame:
+    """(doc_id, gradsign): the gradient-sign sketch (dHash analog,
+    ref: hash/DHash.java:21-29) in engine-portable primitives, so
+    DuckDB computes the bit-identical value — the cross-engine-checkable
+    formulation of the same operator (like _portable_simhash for the
+    aHash family). Token value = first 16 hex chars of md5(token);
+    unsigned 64-bit order == lexicographic order on fixed-width hex, so
+    the gradient comparisons are plain string comparisons in both
+    engines. The token sequence is nearest-neighbor resampled to 65
+    positional samples (sample j = token at floor(j*n/65)); bit j =
+    sample[j+1] > sample[j], packed MSB-first (bit 0 -> 2^63), matching
+    gradsign_numpy's packbits layout. Fully JVM-side, no Python UDF."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    samples = [
+        F.substring(
+            F.md5(
+                F.element_at(
+                    toks, (F.floor(F.lit(j) * n / F.lit(65)) + 1).cast("int")
+                )
+            ),
+            1,
+            16,
+        )
+        for j in range(65)
+    ]
+    sketch = F.lit(0).cast("long")
+    for j in range(64):
+        bit = (samples[j + 1] > samples[j]).cast("long")
+        weight = -9223372036854775808 if j == 0 else (1 << (63 - j))
+        sketch = sketch + bit * F.lit(weight)
+    return docs.select("doc_id", sketch.alias("gradsign"))
+
+
+def q_gradsign_hamming_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient-sign sketch family with a REAL value-hash oracle: the
+    portable md5-hex formulation above feeds the same exhaustive
+    bit-chunk Hamming LSH as every other 64-bit sketch, and DuckDB
+    recomputes the identical sketches + bit_count(xor) pairs."""
+    from imageduplicatefinder_spark.operators.hamming_lsh import hamming_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hamming_pairs(_portable_gradsign(docs), radius=10,
+                         id_col="doc_id", sketch_col="gradsign")
+
+
+def _gradsign_cte() -> str:
+    """DuckDB CTE computing the identical portable gradient-sign sketch."""
+    sample_cols = ",\n       ".join(
+        f"substr(md5(toks[({j} * n) // 65 + 1]), 1, 16) AS s{j}"
+        for j in range(65)
+    )
+    terms = "\n     + ".join(
+        (
+            f"CASE WHEN s{j + 1} > s{j} THEN -9223372036854775807 - 1 ELSE 0 END"
+            if j == 0
+            else f"CASE WHEN s{j + 1} > s{j} THEN {1 << (63 - j)} ELSE 0 END"
+        )
+        for j in range(64)
+    )
+    return f"""
+t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents),
+s AS (SELECT doc_id,
+       {sample_cols}
+  FROM t),
+sim AS (SELECT doc_id, ({terms}) AS gradsign FROM s)
+"""
+
+
+SQL_GRADSIGN_HAMMING_PAIRS_PORTABLE = f"""
+WITH {_gradsign_cte()}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.gradsign, b.gradsign)) AS BIGINT) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.gradsign, b.gradsign)) <= 10
+"""
+
+
 def _ann_planes() -> list[list[float]]:
     """The 8 random hyperplanes (seeded, deterministic) shared by the
     Spark query and its DuckDB oracle — the planes are CONSTANTS of the
@@ -1547,8 +1627,9 @@ QUERIES: dict[str, QueryFn] = {
     "customers_without_orders": q_customers_without_orders,
     "asof_click_purchase": q_asof_click_purchase,
     "range_purchase_followups": q_range_purchase_followups,
-    # dedup via sketch + Hamming LSH (oracle: portable simhash in SQL)
+    # dedup via sketch + Hamming LSH (oracle: portable sketches in SQL)
     "simhash_hamming_pairs": q_simhash_hamming_pairs,
+    "gradsign_hamming_pairs_portable": q_gradsign_hamming_pairs_portable,
     # Spark-only (rows-only driver check)
     "minhash_lsh_candidates": q_minhash_lsh_candidates,
     "near_dup_clusters": q_near_dup_clusters,
@@ -1568,6 +1649,7 @@ ORACLES: dict[str, str] = {
     "quarantine_plan": SQL_QUARANTINE_PLAN,
     "near_dup_clusters_exact": SQL_NEAR_DUP_CLUSTERS_EXACT,
     "simhash_hamming_pairs": SQL_SIMHASH_HAMMING_PAIRS,
+    "gradsign_hamming_pairs_portable": SQL_GRADSIGN_HAMMING_PAIRS_PORTABLE,
     "ann_lsh_bucketed": SQL_ANN_LSH_BUCKETED,
     "token_stats": SQL_TOKEN_STATS,
     "quality_scores": SQL_QUALITY_SCORES,

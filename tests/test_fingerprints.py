@@ -187,3 +187,29 @@ def test_sketch_dispatch_validation():
     with pytest.raises(ValueError, match="sketch"):
         DedupConfig(sketch="phash_dct")
     assert DedupConfig(sketch="gradsign").config_hash() != DedupConfig().config_hash()
+
+
+def test_portable_gradsign_matches_pure_python(spark):
+    """The JVM-side portable gradient-sign sketch (queries.py) must equal
+    a pure-Python reference of the same formula (md5-hex positional
+    resamples, MSB-first packing) — the invariant its DuckDB oracle
+    relies on."""
+    import hashlib
+
+    from imageduplicatefinder_spark.queries import _portable_gradsign
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = _portable_gradsign(docs).collect()[0].gradsign
+
+    toks = text.split(" ")
+    n = len(toks)
+    samples = [
+        hashlib.md5(toks[(j * n) // 65].encode()).hexdigest()[:16]
+        for j in range(65)
+    ]
+    expect = 0
+    for j in range(64):
+        if samples[j + 1] > samples[j]:
+            expect += -(1 << 63) if j == 0 else (1 << (63 - j))
+    assert got == expect
