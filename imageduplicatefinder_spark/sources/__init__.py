@@ -1,3 +1,8 @@
+from imageduplicatefinder_spark.sources.files import (
+    files_as_documents,
+    files_as_media,
+    scan_files,
+)
 from imageduplicatefinder_spark.sources.generator import (
     GeneratedCorpus,
     generate_corpus,
@@ -9,6 +14,9 @@ __all__ = [
     "GeneratedCorpus",
     "generate_corpus",
     "corpus_to_dataframe",
+    "files_as_documents",
+    "files_as_media",
     "load_table",
     "load_testdata",
+    "scan_files",
 ]

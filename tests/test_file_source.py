@@ -1,0 +1,87 @@
+"""Recursive filesystem source (S1/S2 analog, ref: Commands.java:72-84)."""
+
+import tempfile
+
+from imageduplicatefinder_spark.sources.files import (
+    files_as_documents,
+    files_as_media,
+    scan_files,
+)
+
+
+def _make_tree(tmp_path):
+    (tmp_path / "a.py").write_text("def f(): return 1")
+    (tmp_path / "b.PY").write_text("def f(): return 1")      # upper ext
+    (tmp_path / "notes.txt").write_text("not code")          # filtered out
+    sub = tmp_path / "deep" / "deeper"
+    sub.mkdir(parents=True)
+    (sub / "c.java").write_text("class C {}")
+    (sub / "d.Py").write_text("mixed case ext")              # glob misses
+    return tmp_path
+
+
+def test_scan_files_recursion_and_extension_filter(spark, tmp_path):
+    root = str(_make_tree(tmp_path))
+    got = scan_files(spark, root, extensions=("py", "java"))
+    paths = {r.path.rsplit("/", 1)[-1] for r in got.collect()}
+    # recursion reaches deep/deeper; txt filtered; both-case glob matches
+    assert paths == {"a.py", "b.PY", "c.java"}
+    row = {r.path.rsplit("/", 1)[-1]: r for r in got.collect()}["a.py"]
+    assert bytes(row.content) == b"def f(): return 1"
+    assert row.length == len(b"def f(): return 1")
+
+
+def test_scan_files_case_insensitive_regex_mode(spark, tmp_path):
+    root = str(_make_tree(tmp_path))
+    got = scan_files(spark, root, extensions=("py",),
+                     case_insensitive_regex=True)
+    paths = {r.path.rsplit("/", 1)[-1] for r in got.collect()}
+    assert paths == {"a.py", "b.PY", "d.Py"}  # exact (?i) parity
+
+
+def test_scan_files_non_recursive(spark, tmp_path):
+    root = str(_make_tree(tmp_path))
+    got = scan_files(spark, root, extensions=("py", "java"), recursive=False)
+    paths = {r.path.rsplit("/", 1)[-1] for r in got.collect()}
+    assert "c.java" not in paths and "a.py" in paths
+
+
+def test_files_as_documents_shape_and_pipeline(spark, tmp_path):
+    """Scanned files run the full dedup pipeline end-to-end: a copied
+    file collapses in the exact pre-pass and lands in the keeper plan."""
+    from imageduplicatefinder_spark.config import DedupConfig
+    from imageduplicatefinder_spark.plans.pipeline import DedupPipeline
+
+    body = "shared duplicate content alpha beta gamma " * 20
+    (tmp_path / "orig.py").write_text(body)
+    (tmp_path / "copy.py").write_text(body)
+    (tmp_path / "other.py").write_text(
+        "totally different words nothing shared " * 20
+    )
+    docs = files_as_documents(scan_files(spark, str(tmp_path),
+                                         extensions=("py",)))
+    assert set(docs.columns) >= {"repo", "path", "commit", "lang",
+                                 "content", "mtime", "size"}
+    langs = {r.lang for r in docs.select("lang").collect()}
+    assert langs == {"py"}
+    res = DedupPipeline(
+        spark, DedupConfig(), checkpoint_dir=tempfile.mkdtemp()
+    ).run(docs.select("repo", "path", "commit", "lang", "content"))
+    plan = res.plan.collect()
+    by_action = {r.path.rsplit("/", 1)[-1]: r.action for r in plan}
+    assert sorted(by_action.values()) == ["DELETE", "KEEP"]
+    assert set(by_action) == {"orig.py", "copy.py"}  # other.py singleton
+
+
+def test_files_as_media_feeds_multimodal(spark, tmp_path):
+    from imageduplicatefinder_spark.operators.multimodal import extract_features
+
+    (tmp_path / "x.bin").write_bytes(bytes(range(64)))
+    (tmp_path / "y.bin").write_bytes(bytes(range(64)))
+    media = files_as_media(scan_files(spark, str(tmp_path),
+                                      extensions=("bin",)))
+    feats = {r.id: r.feature for r in
+             extract_features(media, decode="fake").collect()}
+    assert len(feats) == 2
+    vals = list(feats.values())
+    assert vals[0] == vals[1]  # identical bytes -> identical features
