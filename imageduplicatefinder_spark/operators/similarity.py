@@ -11,7 +11,11 @@ Tiers, matching how a 100 TB deployment would actually escalate:
 2. brute-force top-k (queries.py `ann_cosine_topk`, oracle-checked) —
    broadcast query side x full scan; the ANN correctness baseline.
 3. ``ann_lsh_bucketed`` (queries.py) — random-hyperplane buckets;
-   pairs only form within a bucket.
+   pairs only form within a bucket. ``hyperplane_lsh_pairs`` (here) is
+   the OR-amplified form: T independent hyperplane tables, a pair is a
+   candidate if it collides in AT LEAST ONE table — recall
+   1-(1-p^b)^T instead of a single table's p^b, still with no
+   all-pairs shuffle.
 4. ``ivf_topk`` (here) — IVF: a coarse quantizer (deterministic
    centroid sample + one Lloyd refinement) partitions vectors into
    nlist inverted lists; each query probes its ``nprobe`` nearest
@@ -112,6 +116,108 @@ def blocked_cosine_pairs(
 
     return rep.groupBy("_gi", "_gj").applyInPandas(
         tile, f"{out_a} long, {out_b} long, cosine_milli long"
+    )
+
+
+def hyperplane_tables(
+    n_tables: int, bits: int, dim: int, seed: int = 42
+) -> list[list[list[float]]]:
+    """Deterministic random hyperplanes for ``hyperplane_lsh_pairs``:
+    n_tables x bits planes of ``dim`` Gaussian components. A fixed seed
+    makes the whole candidate set reproducible (and SQL-expressible by
+    inlining the constants)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_tables, bits, dim)).tolist()
+
+
+def _fold_dot(a, b):
+    """Sequential-fold dot product (JVM-side): matches the evaluation
+    order of a SQL list_sum, so sign decisions are bit-stable across
+    engines."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def hyperplane_lsh_pairs(
+    df: DataFrame,
+    planes_tables: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_a: str = "vec_a",
+    out_b: str = "vec_b",
+    max_bucket_size: int | None = 4096,
+) -> DataFrame:
+    """OR-amplified hyperplane LSH candidate pairs: for each of T
+    independent tables, a row's bucket is the sign-bit vector of its
+    dot products with that table's planes; the output is the UNION of
+    within-bucket pairs over all tables (id_a < id_b, distinct).
+
+    Recall for a pair at angle θ: per-table collision (1-θ/π)^bits,
+    amplified to 1-(1-(1-θ/π)^bits)^T — tune bits down / tables up for
+    recall, the reverse for candidate volume. The plan is an equi-join
+    on (table_id, bucket): no all-pairs shuffle, and ``distinct``
+    dedups cross-table repeats before any downstream verify.
+
+    ``max_bucket_size``: buckets larger than this are down-sampled by
+    the same deterministic salted-threshold scheme as the MinHash band
+    cap (operators/lsh.py capped_bands) — a degenerate bucket (e.g.
+    all-zero embeddings landing at bucket 0 of every table) would
+    otherwise blow up one join key quadratically. None disables the
+    cap (exact candidate semantics, e.g. for oracle-checked queries).
+    """
+    sig_cols = []
+    for t, planes in enumerate(planes_tables):
+        bits = [
+            F.when(
+                _fold_dot(
+                    F.col(vec_col), F.array(*[F.lit(v) for v in p])
+                )
+                >= 0,
+                1,
+            ).otherwise(0)
+            for p in planes
+        ]
+        bucket = sum(
+            [b * F.lit(1 << i) for i, b in enumerate(bits)], start=F.lit(0)
+        )
+        sig_cols.append(bucket.alias(f"_b{t}"))
+    base = df.select(F.col(id_col).alias("_id"), *sig_cols)
+    buckets = base.select(
+        "_id",
+        F.posexplode(
+            F.array(*[F.col(f"_b{t}") for t in range(len(planes_tables))])
+        ).alias("table_id", "bucket"),
+    )
+    # one bucket computation, consumed by both join sides
+    buckets = buckets.localCheckpoint(eager=False)
+    if max_bucket_size is not None:
+        sizes = buckets.groupBy("table_id", "bucket").agg(
+            F.count("*").alias("_bsz")
+        )
+        hot = sizes.filter(F.col("_bsz") > max_bucket_size)
+        buckets = (
+            buckets.join(F.broadcast(hot), on=["table_id", "bucket"],
+                         how="left")
+            .filter(
+                F.col("_bsz").isNull()
+                | (
+                    F.pmod(F.xxhash64("_id", "table_id", "bucket"),
+                           F.col("_bsz"))
+                    < F.lit(max_bucket_size)
+                )
+            )
+            .drop("_bsz")
+        )
+    a = buckets.select("table_id", "bucket", F.col("_id").alias(out_a))
+    b = buckets.select("table_id", "bucket", F.col("_id").alias(out_b))
+    return (
+        a.join(b, on=["table_id", "bucket"])
+        .filter(F.col(out_a) < F.col(out_b))
+        .select(out_a, out_b)
+        .distinct()
     )
 
 

@@ -37,21 +37,48 @@ def _attach(pairs: DataFrame, signatures: DataFrame, side: str,
     return pairs.join(sel, on=side)
 
 
+def _minhash_estimate() -> F.Column:
+    """Unbiased Jaccard estimate: fraction of equal signature slots
+    (expects minhash_src/minhash_dst attached). NULL signatures -> 0.0."""
+    eq = F.size(
+        F.filter(
+            F.zip_with("minhash_src", "minhash_dst", lambda x, y: x == y),
+            lambda v: v,
+        )
+    )
+    return F.coalesce(eq / F.size("minhash_src"), F.lit(0.0))
+
+
 def verify_pairs(
-    pairs: DataFrame, signatures: DataFrame, cfg: DedupConfig
+    pairs: DataFrame,
+    signatures: DataFrame,
+    cfg: DedupConfig,
+    allow_null_shingles: bool = False,
 ) -> DataFrame:
     """(src,dst) candidates -> verified edges with evidence columns.
 
     Output: src, dst, hamming:int, jaccard:double, containment:double,
     verified:boolean. Keep only verified rows for clustering; the full
     frame (pre-filter) is useful for threshold tuning.
+
+    ``allow_null_shingles``: set when ``signatures`` is a union of a
+    shingled table with a minhash-only one (incremental_dedup joining a
+    fresh batch against a footprint-trimmed history) — mixed pairs then
+    fall back to the MinHash jaccard estimate per row, at the cost of
+    also shuffling the minhash arrays onto every pair. Off by default:
+    the batch pipeline's signatures are fully shingled and must not pay
+    that (~2 KB/pair) join payload for a fallback that can never fire.
+    When off, a pair with a NULL shingle side gets NULL
+    jaccard/containment/verified (unknown — dropped by a
+    filter(verified) — never a silent 0.0).
     """
     has_shingles = "shingles" in signatures.columns
     has_minhash = "minhash" in signatures.columns
+    use_fallback = allow_null_shingles and has_shingles and has_minhash
     cols = ["simhash"]
     if has_shingles:
         cols.append("shingles")
-    if not has_shingles or has_minhash:
+    if not has_shingles or use_fallback:
         cols.append("minhash")  # estimate path / per-row NULL fallback
     df = _attach(_attach(pairs, signatures, "src", cols), signatures, "dst", cols)
 
@@ -64,28 +91,15 @@ def verify_pairs(
         sb = F.size("shingles_dst")
         union = sa + sb - inter
         both = F.col("shingles_src").isNotNull() & F.col("shingles_dst").isNotNull()
-        # Per-row fallback: a union of a shingle-bearing table with a
-        # minhash-only one (incremental_dedup joining a fresh batch
-        # against a footprint-trimmed historical corpus) leaves NULL
-        # shingles on one side. array_intersect(NULL, x) is NULL, which
-        # would silently zero jaccard/containment for every mixed pair —
-        # instead estimate jaccard from the MinHash signatures when they
-        # were kept (containment has no symmetric-MinHash estimator, so
-        # it stays 0.0 for mixed pairs: embedded-snippet dups need
-        # shingles on both sides).
-        if has_minhash:
-            est = F.coalesce(
-                F.size(
-                    F.filter(
-                        F.zip_with("minhash_src", "minhash_dst", lambda x, y: x == y),
-                        lambda v: v,
-                    )
-                )
-                / F.size("minhash_src"),
-                F.lit(0.0),
-            )
+        if use_fallback:
+            # containment has no symmetric-MinHash estimator, so mixed
+            # pairs get containment 0.0 (embedded-snippet dups need
+            # shingles on both sides); jaccard falls back to the estimate
+            mixed_jaccard = _minhash_estimate()
+            mixed_containment = F.lit(0.0)
         else:
-            est = F.lit(0.0)
+            mixed_jaccard = F.lit(None).cast("double")
+            mixed_containment = F.lit(None).cast("double")
         df = (
             df.withColumn("_inter", inter)
             .withColumn(
@@ -93,13 +107,16 @@ def verify_pairs(
                 F.when(
                     both,
                     F.when(union > 0, F.col("_inter") / union).otherwise(F.lit(0.0)),
-                ).otherwise(est),
+                ).otherwise(mixed_jaccard),
             )
             .withColumn(
                 "containment",
                 F.when(
-                    both & (F.least(sa, sb) > 0), F.col("_inter") / F.least(sa, sb)
-                ).otherwise(F.lit(0.0)),
+                    both,
+                    F.when(
+                        F.least(sa, sb) > 0, F.col("_inter") / F.least(sa, sb)
+                    ).otherwise(F.lit(0.0)),
+                ).otherwise(mixed_containment),
             )
             .drop("_inter")
         )
@@ -120,13 +137,7 @@ def verify_pairs(
             RuntimeWarning,
             stacklevel=2,
         )
-        eq = F.size(
-            F.filter(
-                F.zip_with("minhash_src", "minhash_dst", lambda x, y: x == y),
-                lambda v: v,
-            )
-        )
-        df = df.withColumn("jaccard", eq / F.size("minhash_src")).withColumn(
+        df = df.withColumn("jaccard", _minhash_estimate()).withColumn(
             "containment", F.lit(0.0)
         )
 

@@ -1419,7 +1419,13 @@ def _portable_gradsign(docs: DataFrame) -> DataFrame:
         bit = (samples[j + 1] > samples[j]).cast("long")
         weight = -9223372036854775808 if j == 0 else (1 << (63 - j))
         sketch = sketch + bit * F.lit(weight)
-    return docs.select("doc_id", sketch.alias("gradsign"))
+    # NULL text must be excluded in BOTH engines: Spark would yield a
+    # NULL sketch (emits no pairs) while DuckDB's CASE WHEN collapses
+    # NULL comparisons to 0 (gradsign=0, pairing with everything near
+    # zero) — the oracle CTE filters text IS NOT NULL identically
+    return docs.filter(F.col("text").isNotNull()).select(
+        "doc_id", sketch.alias("gradsign")
+    )
 
 
 def q_gradsign_hamming_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1451,7 +1457,7 @@ def _gradsign_cte() -> str:
     return f"""
 t AS (SELECT doc_id, string_split(text, ' ') AS toks,
              len(string_split(text, ' ')) AS n
-      FROM documents),
+      FROM documents WHERE text IS NOT NULL),
 s AS (SELECT doc_id,
        {sample_cols}
   FROM t),
@@ -1549,6 +1555,95 @@ FROM ranked WHERE rank <= 5
 SQL_ANN_LSH_BUCKETED = _ann_lsh_bucketed_sql()
 
 
+def _amplified_tables() -> list[list[list[float]]]:
+    """2 hyperplane tables x 8 bits (seed 7) shared by the Spark query
+    and its DuckDB oracle — constants of the operator, inlined in SQL."""
+    from imageduplicatefinder_spark.operators.similarity import hyperplane_tables
+
+    return hyperplane_tables(n_tables=2, bits=8, dim=64, seed=7)
+
+
+def q_embedding_neardup_lsh_amplified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OR-amplified hyperplane LSH (2 tables x 8 bits) feeding an exact
+    cosine verify at 0.4 — the sub-quadratic scale path for embedding
+    near-dup pairs with recall 1-(1-p^8)^2 instead of a single table's
+    p^8. Candidates form only inside (table_id, bucket) groups; the
+    verify is the same sequential-fold cosine as the SQL oracle, so the
+    result is value-hash checkable end to end (uncapped buckets here:
+    the cap would change results; capped form is the operator default)."""
+    from imageduplicatefinder_spark.operators.similarity import (
+        hyperplane_lsh_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cands = hyperplane_lsh_pairs(
+        emb, _amplified_tables(), max_bucket_size=None
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"),
+                    F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"),
+                    F.col("embedding").alias("eb"))
+    cos = _dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(_dot(F.col("ea"), F.col("ea")))
+        * F.sqrt(_dot(F.col("eb"), F.col("eb")))
+    )
+    return (
+        cands.join(ea, on="vec_a")
+        .join(eb, on="vec_b")
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= 0.4)
+        .select(
+            "vec_a",
+            "vec_b",
+            F.floor(F.col("cos") * 1000).cast("long").alias("cosine_milli"),
+        )
+    )
+
+
+def _embedding_neardup_lsh_amplified_sql() -> str:
+    tables = _amplified_tables()
+    bucket_exprs = []
+    for planes in tables:
+        bits = " + ".join(
+            "CASE WHEN list_sum(list_transform(generate_series(1, 64), "
+            f"i -> embedding[i]::DOUBLE * ([{', '.join(repr(v) for v in p)}])[i]"
+            f")) >= 0 THEN {1 << i} ELSE 0 END"
+            for i, p in enumerate(planes)
+        )
+        bucket_exprs.append(f"({bits})")
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+         {bucket_exprs[0]} AS b0,
+         {bucket_exprs[1]} AS b1
+  FROM embeddings
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, x.vec_id AS vec_b
+  FROM b a JOIN b x
+    ON a.vec_id < x.vec_id AND (a.b0 = x.b0 OR a.b1 = x.b1)
+),
+scored AS (
+  SELECT c.vec_a, c.vec_b,
+         list_sum(list_transform(generate_series(1, len(ea.embedding)),
+            i -> ea.embedding[i]::DOUBLE * eb.embedding[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(ea.embedding, v -> v::DOUBLE * v::DOUBLE)))
+          * sqrt(list_sum(list_transform(eb.embedding, v -> v::DOUBLE * v::DOUBLE))))
+           AS cos
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.vec_a
+  JOIN embeddings eb ON eb.vec_id = c.vec_b
+)
+SELECT vec_a, vec_b, CAST(floor(cos * 1000) AS BIGINT) AS cosine_milli
+FROM scored WHERE cos >= 0.4
+"""
+
+
+SQL_EMBEDDING_NEARDUP_LSH_AMPLIFIED = _embedding_neardup_lsh_amplified_sql()
+
+
 def q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal dedup end-to-end: documents' bytes treated as opaque
     media payloads -> feature extraction (stubbed decode, real Arrow
@@ -1612,6 +1707,7 @@ QUERIES: dict[str, QueryFn] = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
     "embedding_similar_pairs": q_embedding_similar_pairs,
+    "embedding_neardup_lsh_amplified": q_embedding_neardup_lsh_amplified,
     # relational analytics
     "pricing_summary": q_pricing_summary,
     "top_orders_by_revenue": q_top_orders_by_revenue,
@@ -1663,6 +1759,7 @@ ORACLES: dict[str, str] = {
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "embedding_near_dup_pairs": SQL_EMBEDDING_NEAR_DUP_PAIRS,
     "embedding_similar_pairs": SQL_EMBEDDING_SIMILAR_PAIRS,
+    "embedding_neardup_lsh_amplified": SQL_EMBEDDING_NEARDUP_LSH_AMPLIFIED,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "top_orders_by_revenue": SQL_TOP_ORDERS_BY_REVENUE,
     "region_customer_rollup": SQL_REGION_CUSTOMER_ROLLUP,

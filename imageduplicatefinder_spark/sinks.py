@@ -18,7 +18,6 @@ are periodically rewritten to target-sized files.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 
 def write_bucketed(

@@ -60,10 +60,27 @@ def scan_files(
 
 
 def files_as_documents(
-    files: DataFrame, repo: str = "fs", encoding: str = "UTF-8"
+    files: DataFrame,
+    repo: str = "fs",
+    encoding: str = "UTF-8",
+    errors: str = "skip",
 ) -> DataFrame:
     """Map scanned files into the documents/input_hint shape consumed by
     the dedup pipeline: (repo, path, commit, lang, content string).
+
+    ``errors`` is the per-file decode-failure policy (S4 analog, ref:
+    app/Commands.java:76-84 — the reference SKIPS files that fail to
+    load rather than failing the run). Under Spark 4's default ANSI
+    mode a plain ``decode`` THROWS on the first malformed byte, killing
+    the whole job on one bad file, so:
+
+    - ``"skip"``    (default, reference parity): files whose bytes are
+      not valid UTF-8 are dropped (``is_valid_utf8`` on the raw binary).
+    - ``"replace"``: keep every file; invalid sequences become U+FFFD
+      (binary->string cast semantics).
+    - ``"strict"``: raise on the first malformed file (plain decode) —
+      also the path taken for any non-UTF-8 ``encoding``, where Spark
+      has no validity predicate.
 
     ``commit`` has no filesystem analog; the content sha256 stands in as
     the version marker (stable across rescans of unchanged files, which
@@ -71,12 +88,21 @@ def files_as_documents(
     lowercased extension. ``mtime``/``size`` ride along for the keeper
     policy (W2 metadata precompute, ref: app/Commands.java:207-209).
     """
+    if errors not in ("skip", "replace", "strict"):
+        raise ValueError(f"unknown errors policy {errors!r}")
+    utf8 = encoding.upper().replace("-", "") == "UTF8"
+    if errors == "strict" or not utf8:
+        text = F.decode(F.col("content"), encoding)
+    else:
+        if errors == "skip":
+            files = files.filter(F.expr("is_valid_utf8(content)"))
+        text = F.col("content").cast("string")
     return files.select(
         F.lit(repo).alias("repo"),
         F.col("path"),
         F.sha2(F.col("content"), 256).alias("commit"),
         F.lower(F.regexp_extract("path", r"\.([^./\\]+)$", 1)).alias("lang"),
-        F.decode(F.col("content"), encoding).alias("content"),
+        text.alias("content"),
         F.col("modificationTime").alias("mtime"),
         F.col("length").alias("size"),
     )

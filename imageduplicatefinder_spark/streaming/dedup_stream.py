@@ -96,8 +96,10 @@ def incremental_dedup(
     historical band table and the batch's own bands — so a new doc
     pairs both with history and with other docs in the same batch.
     Candidates are verified with the standard Jaccard/containment rule
-    and verified edges are APPENDED to ``edges_out`` (parquet), ready
-    for a periodic connected-components pass.
+    and verified edges land under ``edges_out`` (parquet, one partition
+    per batch_id, replay-idempotent), ready for a periodic
+    connected-components pass. Hot-band cap drops are recorded per batch
+    at ``<edges_out>_band_stats`` (capped_bands' visibility contract).
 
     The historical band table is computed once (not per batch); at
     scale it would be the checkpointed ``bands`` stage of the last
@@ -113,9 +115,11 @@ def incremental_dedup(
     # hot-band cap on the HISTORY side, same as the batch pipeline: a
     # mega-band in the corpus (license boilerplate) would otherwise fan
     # every colliding new doc out O(band_size) per micro-batch
-    hist_bands, _ = capped_bands(band_table(history_signatures, cfg), cfg)
+    hist_bands, hist_stats = capped_bands(band_table(history_signatures, cfg), cfg)
     hist_bands = hist_bands.localCheckpoint(eager=False)
+    hist_stats = hist_stats.filter(SF.col("capped")).localCheckpoint(eager=False)
     hist_sigs = history_signatures
+    stats_out = edges_out.rstrip("/") + "_band_stats"
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
@@ -127,7 +131,23 @@ def incremental_dedup(
         # whole backlog can land in one batch, and an uncapped mega-band
         # (license boilerplate) self-pairs quadratically on one
         # (band_id, band_hash) key — the exact skew capped_bands exists for
-        new_bands, _ = capped_bands(band_table(sigs, cfg), cfg)
+        new_bands, new_stats = capped_bands(band_table(sigs, cfg), cfg)
+        # capped_bands' contract: drops must be visible, not silent —
+        # persist the capped-band stats (history + this batch) next to
+        # the edges, replayed idempotently per batch_id like the edges
+        (
+            hist_stats.withColumn("side", SF.lit("history"))
+            .unionByName(
+                new_stats.filter(SF.col("capped")).withColumn(
+                    "side", SF.lit("batch")
+                )
+            )
+            .withColumn("batch_id", SF.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(stats_out)
+        )
         all_bands = hist_bands.unionByName(new_bands)
         cands = (
             new_bands.withColumnRenamed("doc_id", "new_id")
@@ -143,7 +163,9 @@ def incremental_dedup(
         # NULL shingles; verify_pairs falls back to the MinHash jaccard
         # estimate per mixed row (see operators/verify.py)
         combined = hist_sigs.unionByName(sigs, allowMissingColumns=True)
-        edges = verify_pairs(cands, combined, cfg).filter(SF.col("verified"))
+        edges = verify_pairs(
+            cands, combined, cfg, allow_null_shingles=True
+        ).filter(SF.col("verified"))
         # foreachBatch is at-least-once: partition by batch_id and
         # dynamically overwrite that partition so a replayed batch
         # replaces its own output instead of appending duplicate edges

@@ -85,3 +85,25 @@ def test_files_as_media_feeds_multimodal(spark, tmp_path):
     assert len(feats) == 2
     vals = list(feats.values())
     assert vals[0] == vals[1]  # identical bytes -> identical features
+
+
+def test_files_as_documents_decode_error_policies(spark, tmp_path):
+    """Reference parity (S4 per-file error skip): one non-UTF-8 file
+    must not kill the job under Spark 4's ANSI mode."""
+    import pytest
+
+    (tmp_path / "good.py").write_text("valid utf8 content")
+    (tmp_path / "bad.py").write_bytes(b"broken \xff\xfe bytes")
+    files = scan_files(spark, str(tmp_path), extensions=("py",))
+
+    skipped = files_as_documents(files, errors="skip")
+    names = {r.path.rsplit("/", 1)[-1] for r in skipped.collect()}
+    assert names == {"good.py"}
+
+    replaced = files_as_documents(files, errors="replace")
+    by_name = {r.path.rsplit("/", 1)[-1]: r.content for r in replaced.collect()}
+    assert set(by_name) == {"good.py", "bad.py"}
+    assert "�" in by_name["bad.py"]
+
+    with pytest.raises(Exception, match="MALFORMED_CHARACTER_CODING"):
+        files_as_documents(files, errors="strict").collect()

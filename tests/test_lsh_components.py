@@ -192,6 +192,10 @@ def test_verify_pairs_mixed_null_shingles_falls_back_to_estimate(spark):
     combined = hist.unionByName(new, allowMissingColumns=True)
     ids = sorted(r.doc_id for r in combined.select("doc_id").collect())
     pairs = spark.createDataFrame([tuple(ids)], "src long, dst long")
-    row = verify_pairs(pairs, combined, cfg).collect()[0]
+    row = verify_pairs(pairs, combined, cfg, allow_null_shingles=True).collect()[0]
     assert row.jaccard > 0.8        # estimate, not the silent 0.0
     assert row.verified
+    # without the flag, a mixed pair is honestly UNKNOWN (NULL), never
+    # a silent 0.0 — filter(verified) drops it
+    strict = verify_pairs(pairs, combined, cfg).collect()[0]
+    assert strict.jaccard is None and strict.verified is None

@@ -357,3 +357,42 @@ def test_ingest_window_stats_counts_bytes_not_chars(spark, tmp_path):
     q.awaitTermination(60)
     out = spark.sql("select * from byte_stats").collect()
     assert out[0].total_bytes == 6
+
+
+def test_incremental_dedup_records_band_cap_stats(spark, tmp_path):
+    """capped_bands' visibility contract: a mega-band thinned in a
+    micro-batch must leave a record at <edges_out>_band_stats."""
+    from imageduplicatefinder_spark.config import DedupConfig
+    from imageduplicatefinder_spark.operators.signatures import compute_signatures
+    from imageduplicatefinder_spark.streaming.dedup_stream import incremental_dedup
+
+    cfg = DedupConfig(max_band_size=4)  # tiny cap so the batch trips it
+    hist_docs = spark.createDataFrame(
+        [("r", "old/base.py", "c0", "py",
+          "unrelated historical content here " * 5)],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    hist_sigs = compute_signatures(hist_docs, cfg)
+
+    t0 = datetime.datetime(2024, 1, 1)
+    boiler = "identical license boilerplate tokens " * 10
+    new_rows = [
+        (t0, "r", f"new/f{i}.py", f"c{i}", "py", boiler + f"tail{i} unique")
+        for i in range(12)  # 12 near-identical docs >> cap of 4
+    ]
+    src = spark.createDataFrame(new_rows, STREAM_SCHEMA)
+    srcdir = str(tmp_path / "bs_src")
+    src.coalesce(1).write.parquet(srcdir)
+    stream = spark.readStream.schema(src.schema).parquet(srcdir)
+
+    edges_out = str(tmp_path / "bs_edges")
+    q = incremental_dedup(
+        stream, hist_sigs, cfg, edges_out, str(tmp_path / "bs_ckpt")
+    )
+    q.awaitTermination(120)
+    stats = spark.read.parquet(edges_out + "_band_stats")
+    rows = stats.collect()
+    assert len(rows) > 0
+    assert all(r.capped and r.band_size > 4 for r in rows)
+    assert {r.side for r in rows} <= {"history", "batch"}
+    assert "batch" in {r.side for r in rows}

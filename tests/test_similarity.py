@@ -112,3 +112,73 @@ def test_ivf_small_table_clamps_nlist_and_nprobe(spark):
     out = ivf_topk(df, df.filter(F.col("vec_id") < 2), k=3,
                    nlist=16, nprobe=32)
     assert out.count() >= 0  # executes without shape errors
+
+
+def test_hyperplane_lsh_or_amplification_improves_recall(spark):
+    """Planted near-dup pairs (cos >= 0.95): the multi-table union must
+    (a) emit only true candidate pairs also found exactly, and
+    (b) recall at 6 tables must beat a single table and reach >= 0.9."""
+    import numpy as np
+
+    from imageduplicatefinder_spark.operators.similarity import (
+        blocked_cosine_pairs,
+        hyperplane_lsh_pairs,
+        hyperplane_tables,
+    )
+
+    rng = np.random.default_rng(5)
+    dim = 64
+    rows = []
+    vid = 0
+    truth = set()
+    for _ in range(40):                     # 40 planted near-dup pairs
+        v = rng.standard_normal(dim)
+        w = v + 0.12 * rng.standard_normal(dim)   # cos ~ 0.97
+        rows.append((vid, v.tolist()))
+        rows.append((vid + 1, w.tolist()))
+        truth.add((vid, vid + 1))
+        vid += 2
+    for _ in range(120):                    # background
+        rows.append((vid, rng.standard_normal(dim).tolist()))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in blocked_cosine_pairs(df, threshold=0.95, n_blocks=4).collect()
+    }
+    assert truth <= exact                   # sanity: plants are real
+
+    tables6 = hyperplane_tables(n_tables=6, bits=8, dim=dim, seed=11)
+    cand6 = {(r.vec_a, r.vec_b)
+             for r in hyperplane_lsh_pairs(df, tables6).collect()}
+    cand1 = {(r.vec_a, r.vec_b)
+             for r in hyperplane_lsh_pairs(df, tables6[:1]).collect()}
+    recall6 = len(cand6 & truth) / len(truth)
+    recall1 = len(cand1 & truth) / len(truth)
+    assert recall6 >= recall1               # OR-amplification monotone
+    assert recall6 >= 0.9, (recall1, recall6)
+    assert cand1 <= cand6                   # table 1's pairs are a subset
+
+
+def test_hyperplane_lsh_bucket_cap_bounds_degenerate_buckets(spark):
+    """All-identical embeddings collapse into one bucket per table; the
+    salted cap must bound the pair blowup instead of joining the full
+    bucket against itself."""
+    from imageduplicatefinder_spark.operators.similarity import (
+        hyperplane_lsh_pairs,
+        hyperplane_tables,
+    )
+
+    rows = [(i, [1.0] * 16) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    tables = hyperplane_tables(n_tables=2, bits=4, dim=16, seed=3)
+    capped = hyperplane_lsh_pairs(df, tables, max_bucket_size=16).count()
+    uncapped = hyperplane_lsh_pairs(df, tables, max_bucket_size=None).count()
+    assert uncapped == 200 * 199 // 2       # one degenerate bucket
+    assert 0 < capped < uncapped            # thinned, not silent-empty
+    # the salted threshold keeps ~cap members per bucket IN EXPECTATION
+    # (binomial, not exact), so bound loosely: well under 2x-cap pairs
+    # per table, and orders of magnitude below the quadratic blowup
+    assert capped <= 2 * (32 * 31 // 2), capped
+    assert capped < uncapped // 10
