@@ -105,3 +105,102 @@ def connected_components(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def connected_components_star(
+    edges: DataFrame, max_iterations: int = 30
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — same output contract as ``connected_components``.
+
+    Why a second algorithm: min-label propagation needs O(diameter)
+    rounds, which is optimal for shallow dup families (diameter 3-4)
+    but degenerates on long chains (e.g. transitive containment hosts:
+    a 10^4-long chain needs 10^4 shuffles). Star contraction converges
+    in O(log n) rounds regardless of diameter:
+
+    - large-star: every node's strictly-larger neighbors re-attach to
+      the minimum of its closed neighborhood;
+    - small-star: every node's smaller-or-equal neighbors (and itself)
+      re-attach to its minimum neighbor.
+
+    Both steps are a groupBy-min + join per round (no per-group sort);
+    edge endpoints only ever decrease, so the fixpoint — a star per
+    component rooted at the component minimum — is detected by an
+    unchanged (count, hash-sum) checksum of the canonical edge set.
+    Labels then read directly off the star edges, with cluster_id =
+    min member, identical to connected_components (property-tested
+    equal on chains/cycles/random graphs in tests/test_lsh_components).
+
+    Pick per shape: label propagation for many shallow components (one
+    shuffle per round, fewer rounds than star's two); star for graphs
+    that may contain deep paths.
+    """
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def checksum(df: DataFrame):
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("s"),
+        ).collect()[0]
+        return (row["n"], row["s"])
+
+    prev = checksum(e)
+    converged = prev[0] == 0
+    for _ in range(max_iterations):
+        if converged:
+            break
+        # large-star: m = min(closed neighborhood of u); (v, m) for v > u
+        sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("_mv")).select(
+            "u", F.least("u", F.col("_mv")).alias("m")
+        )
+        ls = (
+            sym.join(mins, on="u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+            .distinct()
+        )
+        # small-star: orient edges v < u; m = min neighbor of u;
+        # re-attach every small neighbor AND u itself to m
+        oriented = ls.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        smins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            oriented.join(smins, on="u")
+            .select("v", "m")
+            .union(smins.select(F.col("u").alias("v"), "m"))
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        cur = checksum(ss)  # materializes the round (lineage truncated)
+        e = ss
+        if cur == prev:
+            converged = True
+        prev = cur
+
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in "
+            f"{max_iterations} rounds (expected O(log n); the edge set "
+            "is still contracting)"
+        )
+    # fixpoint is a star per component rooted at the component min
+    return (
+        e.select(F.col("b").alias("doc_id"), F.col("a").alias("cluster_id"))
+        .union(
+            e.select(F.col("a").alias("doc_id"), F.col("a").alias("cluster_id"))
+        )
+        .distinct()
+    )

@@ -1300,6 +1300,28 @@ def q_near_dup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering semantics computed by the alternating
+    large-star/small-star algorithm (O(log n) rounds regardless of
+    diameter — the scale path for graphs with deep chains, e.g.
+    transitive containment; operators/components.py
+    connected_components_star) over the same exact edge set, pinned
+    against the same DuckDB recursive-CTE fixpoint oracle — a
+    cross-algorithm equivalence check, not just a cross-engine one."""
+    from imageduplicatefinder_spark.operators.components import (
+        connected_components_star,
+    )
+
+    edges = q_ngram_jaccard_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comps = connected_components_star(edges)
+    sizes = comps.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
+    return comps.join(sizes, on="cluster_id").select(
+        "cluster_id", "doc_id", "n_members"
+    )
+
+
 SQL_NEAR_DUP_CLUSTERS_EXACT = f"""
 WITH RECURSIVE {_SHINGLE_CTE},
 edges AS (
@@ -1693,6 +1715,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_keeper_plan": q_dedup_keeper_plan,
     "quarantine_plan": q_quarantine_plan,
     "near_dup_clusters_exact": q_near_dup_clusters_exact,
+    "near_dup_clusters_star": q_near_dup_clusters_star,
     # text analysis
     "token_stats": q_token_stats,
     "quality_scores": q_quality_scores,
@@ -1744,6 +1767,7 @@ ORACLES: dict[str, str] = {
     "dedup_keeper_plan": SQL_DEDUP_KEEPER_PLAN,
     "quarantine_plan": SQL_QUARANTINE_PLAN,
     "near_dup_clusters_exact": SQL_NEAR_DUP_CLUSTERS_EXACT,
+    "near_dup_clusters_star": SQL_NEAR_DUP_CLUSTERS_EXACT,
     "simhash_hamming_pairs": SQL_SIMHASH_HAMMING_PAIRS,
     "gradsign_hamming_pairs_portable": SQL_GRADSIGN_HAMMING_PAIRS_PORTABLE,
     "ann_lsh_bucketed": SQL_ANN_LSH_BUCKETED,

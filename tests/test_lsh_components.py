@@ -199,3 +199,68 @@ def test_verify_pairs_mixed_null_shingles_falls_back_to_estimate(spark):
     # a silent 0.0 — filter(verified) drops it
     strict = verify_pairs(pairs, combined, cfg).collect()[0]
     assert strict.jaccard is None and strict.verified is None
+
+
+def test_star_cc_matches_label_propagation(spark):
+    """Alternating large/small-star must produce identical memberships
+    and cluster ids to min-label propagation on chain / cycle /
+    disjoint / random shapes."""
+    import random
+
+    from imageduplicatefinder_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    shapes = {
+        "chain": [(i, i + 1) for i in range(12)],
+        "cycle": [(i, (i + 1) % 9) for i in range(9)],
+        "disjoint": [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
+    }
+    rng = random.Random(13)
+    shapes["random"] = [
+        (rng.randrange(40), rng.randrange(40)) for _ in range(60)
+    ]
+    for name, es in shapes.items():
+        edges = spark.createDataFrame(
+            [(a, b) for a, b in es if a != b], "src long, dst long"
+        )
+        want = {(r.doc_id, r.cluster_id)
+                for r in connected_components(edges, max_iterations=60).collect()}
+        got = {(r.doc_id, r.cluster_id)
+               for r in connected_components_star(edges).collect()}
+        assert got == want, name
+
+
+def test_star_cc_deep_chain_logarithmic_rounds(spark):
+    """A 200-node chain has diameter 199 — label propagation at
+    max_iterations=20 must fail, star contraction must converge well
+    within 20 alternation rounds (O(log n))."""
+    import pytest
+
+    from imageduplicatefinder_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(199)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iterations=20)
+    got = connected_components_star(edges, max_iterations=20).collect()
+    assert len(got) == 200
+    assert {r.cluster_id for r in got} == {0}
+
+
+def test_star_cc_empty_and_self_loops(spark):
+    from imageduplicatefinder_spark.operators.components import (
+        connected_components_star,
+    )
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert connected_components_star(empty).count() == 0
+    loops = spark.createDataFrame([(5, 5), (7, 8)], "src long, dst long")
+    got = {(r.doc_id, r.cluster_id)
+           for r in connected_components_star(loops).collect()}
+    assert got == {(7, 7), (8, 7)}  # pure self-loop node drops like CC

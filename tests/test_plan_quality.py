@@ -139,3 +139,11 @@ def test_shingle_hot_set_is_broadcast_anti_join(spark):
     docs = load_table(spark, SF_DIR, "documents")
     plan = plan_of(_capped_shingle_table(docs, checkpoint=False))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_amplified_lsh_has_no_cartesian(spark):
+    """The OR-amplified hyperplane LSH must candidate via the
+    (table_id, bucket) equi-join — never an all-pairs product."""
+    plan = plan_of(QUERIES["embedding_neardup_lsh_amplified"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
