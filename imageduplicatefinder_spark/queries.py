@@ -723,6 +723,95 @@ def q_embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_EMBEDDING_SIMILAR_PAIRS = SQL_EMBEDDING_NEAR_DUP_PAIRS.replace("0.95", "0.4")
 
 
+def q_embedding_dedup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup end to end: cosine-similar pairs
+    (>= 0.4, exact block-matrix) -> connected components -> one KEEP per
+    embedding cluster (largest norm, tie-break min vec_id — mirroring
+    the document keeper's largest-content rule), DELETE for the rest.
+    The full dedup machinery (pair gen, CC, mega-cluster-safe min_by
+    keeper) generalized from documents to the embedding modality, all
+    deterministic and value-hash checked against a recursive-CTE oracle.
+    """
+    from imageduplicatefinder_spark.operators.components import (
+        connected_components,
+    )
+    from imageduplicatefinder_spark.operators.similarity import (
+        blocked_cosine_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = blocked_cosine_pairs(emb, threshold=0.4, n_blocks=8).select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    )
+    comps = connected_components(edges)
+    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    norms = emb.select(
+        "vec_id", F.floor(norm * 1000).cast("long").alias("norm_milli")
+    )
+    members = comps.select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    ).join(norms, on="vec_id")
+    # keeper = min_by over an order-encoding struct (largest norm first,
+    # then smallest id) — partial-aggregating, no per-cluster sort
+    keepers = members.groupBy("cluster_id").agg(
+        F.min_by(
+            "vec_id",
+            F.struct((-F.col("norm_milli")).alias("o1"),
+                     F.col("vec_id").alias("o2")),
+        ).alias("keeper_id")
+    )
+    return (
+        members.join(keepers, on="cluster_id")
+        .select(
+            "cluster_id",
+            "vec_id",
+            "norm_milli",
+            F.when(F.col("vec_id") == F.col("keeper_id"), "KEEP")
+            .otherwise("DELETE")
+            .alias("action"),
+        )
+    )
+
+
+SQL_EMBEDDING_DEDUP_KEEPER = """
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_sum(list_transform(generate_series(1, len(a.embedding)),
+          i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+      / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+       * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))))
+      >= 0.4
+),
+sym AS (SELECT vec_a AS a, vec_b AS b FROM pairs
+        UNION ALL SELECT vec_b, vec_a FROM pairs),
+reach(node, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym) t
+  UNION
+  SELECT reach.node, sym.b FROM reach JOIN sym ON reach.r = sym.a
+),
+labels AS (SELECT node AS vec_id, min(r) AS cluster_id FROM reach GROUP BY node),
+norms AS (
+  SELECT vec_id, CAST(floor(sqrt(list_sum(list_transform(embedding,
+           x -> x::DOUBLE * x::DOUBLE))) * 1000) AS BIGINT) AS norm_milli
+  FROM embeddings
+),
+members AS (
+  SELECT l.cluster_id, l.vec_id, n.norm_milli
+  FROM labels l JOIN norms n USING (vec_id)
+),
+ranked AS (
+  SELECT cluster_id, vec_id, norm_milli,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY norm_milli DESC, vec_id) AS rn
+  FROM members
+)
+SELECT cluster_id, vec_id, norm_milli,
+       CASE WHEN rn = 1 THEN 'KEEP' ELSE 'DELETE' END AS action
+FROM ranked
+"""
+
+
 # ---------------------------------------------------------------------------
 # D. relational analytics (general operator surface: scan/filter/agg/join/
 #    window/top-k — SURVEY §2.1-2.6 general mappings)
@@ -1731,6 +1820,7 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
     "embedding_similar_pairs": q_embedding_similar_pairs,
     "embedding_neardup_lsh_amplified": q_embedding_neardup_lsh_amplified,
+    "embedding_dedup_keeper": q_embedding_dedup_keeper,
     # relational analytics
     "pricing_summary": q_pricing_summary,
     "top_orders_by_revenue": q_top_orders_by_revenue,
@@ -1784,6 +1874,7 @@ ORACLES: dict[str, str] = {
     "embedding_near_dup_pairs": SQL_EMBEDDING_NEAR_DUP_PAIRS,
     "embedding_similar_pairs": SQL_EMBEDDING_SIMILAR_PAIRS,
     "embedding_neardup_lsh_amplified": SQL_EMBEDDING_NEARDUP_LSH_AMPLIFIED,
+    "embedding_dedup_keeper": SQL_EMBEDDING_DEDUP_KEEPER,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "top_orders_by_revenue": SQL_TOP_ORDERS_BY_REVENUE,
     "region_customer_rollup": SQL_REGION_CUSTOMER_ROLLUP,
