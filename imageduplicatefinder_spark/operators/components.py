@@ -108,17 +108,22 @@ def connected_components(
 
 
 def connected_components_star(
-    edges: DataFrame, max_iterations: int = 30
+    edges: DataFrame,
+    max_iterations: int = 50,
+    on_nonconverged: str = "raise",
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
-    SoCC'14) — same output contract as ``connected_components``.
+    SoCC'14) — same output contract as ``connected_components``,
+    including singleton labels for nodes whose only edges are
+    self-loops.
 
     Why a second algorithm: min-label propagation needs O(diameter)
     rounds, which is optimal for shallow dup families (diameter 3-4)
     but degenerates on long chains (e.g. transitive containment hosts:
     a 10^4-long chain needs 10^4 shuffles). Star contraction converges
-    in O(log n) rounds regardless of diameter:
+    in O(log^2 n) rounds PROVEN (typically ~log n observed) regardless
+    of diameter:
 
     - large-star: every node's strictly-larger neighbors re-attach to
       the minimum of its closed neighborhood;
@@ -137,6 +142,17 @@ def connected_components_star(
     shuffle per round, fewer rounds than star's two); star for graphs
     that may contain deep paths.
     """
+    if on_nonconverged not in ("raise", "warn"):
+        raise ValueError(f"unknown on_nonconverged {on_nonconverged!r}")
+    # every node mentioned in edges gets a label — contraction works on
+    # self-loop-free canonical edges, but self-loop-only nodes must come
+    # back as singletons (contract parity with connected_components and
+    # the recursive-CTE oracle, which both retain them)
+    nodes = (
+        edges.select(F.explode(F.array("src", "dst")).alias("node"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     e = (
         edges.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
@@ -191,16 +207,34 @@ def connected_components_star(
         prev = cur
 
     if not converged:
-        raise RuntimeError(
+        msg = (
             f"connected_components_star did not converge in "
-            f"{max_iterations} rounds (expected O(log n); the edge set "
-            "is still contracting)"
+            f"{max_iterations} rounds (proven bound O(log^2 n); the edge "
+            "set is still contracting — results would be over-split)"
         )
-    # fixpoint is a star per component rooted at the component min
-    return (
+        if on_nonconverged == "raise":
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
+    # fixpoint is a star per component rooted at the component min;
+    # nodes absent from the contracted edges (self-loop-only) are
+    # singletons labeled by themselves
+    labels = (
         e.select(F.col("b").alias("doc_id"), F.col("a").alias("cluster_id"))
         .union(
             e.select(F.col("a").alias("doc_id"), F.col("a").alias("cluster_id"))
         )
         .distinct()
     )
+    if not converged:
+        # mid-contraction a node can still carry several partner labels;
+        # collapse to the minimum so the partial result is one (possibly
+        # over-split) label per node — at the fixpoint this is a no-op
+        labels = labels.groupBy("doc_id").agg(
+            F.min("cluster_id").alias("cluster_id")
+        )
+    singletons = nodes.join(
+        labels, nodes.node == labels.doc_id, how="left_anti"
+    ).select(F.col("node").alias("doc_id"), F.col("node").alias("cluster_id"))
+    return labels.unionByName(singletons)

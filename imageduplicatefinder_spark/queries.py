@@ -731,6 +731,15 @@ def q_embedding_dedup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     The full dedup machinery (pair gen, CC, mega-cluster-safe min_by
     keeper) generalized from documents to the embedding modality, all
     deterministic and value-hash checked against a recursive-CTE oracle.
+
+    Boundary stability: a cosine within a few ulps of the 0.40
+    threshold could round differently under BLAS pairwise summation
+    than under the oracle's sequential fold — and here one flipped pair
+    would re-cluster whole components, not just add a row. So the BLAS
+    block join only PRE-FILTERS with a 0.01 margin (>= 0.39) and every
+    surviving pair is re-scored with the sequential-fold ``_dot`` —
+    the same evaluation order as DuckDB's list_sum — making the
+    threshold decision bit-identical across engines.
     """
     from imageduplicatefinder_spark.operators.components import (
         connected_components,
@@ -740,14 +749,25 @@ def q_embedding_dedup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    edges = blocked_cosine_pairs(emb, threshold=0.4, n_blocks=8).select(
-        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    cands = blocked_cosine_pairs(emb, threshold=0.39, n_blocks=8).select(
+        "vec_a", "vec_b"
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"),
+                    F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"),
+                    F.col("embedding").alias("eb"))
+    fold_cos = _dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(_dot(F.col("ea"), F.col("ea")))
+        * F.sqrt(_dot(F.col("eb"), F.col("eb")))
+    )
+    edges = (
+        cands.join(ea, on="vec_a")
+        .join(eb, on="vec_b")
+        .filter(fold_cos >= 0.4)
+        .select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
     )
     comps = connected_components(edges)
-    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
-    norms = emb.select(
-        "vec_id", F.floor(norm * 1000).cast("long").alias("norm_milli")
-    )
+    norms = q_embedding_norms(spark, sf_dir).select("vec_id", "norm_milli")
     members = comps.select(
         F.col("doc_id").alias("vec_id"), "cluster_id"
     ).join(norms, on="vec_id")
@@ -773,7 +793,7 @@ def q_embedding_dedup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_EMBEDDING_DEDUP_KEEPER = """
+SQL_EMBEDDING_DEDUP_KEEPER = f"""
 WITH RECURSIVE pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -791,11 +811,7 @@ reach(node, r) AS (
   SELECT reach.node, sym.b FROM reach JOIN sym ON reach.r = sym.a
 ),
 labels AS (SELECT node AS vec_id, min(r) AS cluster_id FROM reach GROUP BY node),
-norms AS (
-  SELECT vec_id, CAST(floor(sqrt(list_sum(list_transform(embedding,
-           x -> x::DOUBLE * x::DOUBLE))) * 1000) AS BIGINT) AS norm_milli
-  FROM embeddings
-),
+norms AS (SELECT vec_id, norm_milli FROM ({SQL_EMBEDDING_NORMS})),
 members AS (
   SELECT l.cluster_id, l.vec_id, n.norm_milli
   FROM labels l JOIN norms n USING (vec_id)
@@ -1366,6 +1382,19 @@ SQL_SIMHASH_HAMMING_PAIRS = SQL_SIMHASH_HAMMING_PAIRS_TEMPLATE.format(
 )
 
 
+def _exact_edge_clusters(spark: SparkSession, sf_dir: str, cc_fn) -> DataFrame:
+    """Shared body of the two cluster-oracle queries: exact n-gram
+    Jaccard edges -> the given CC implementation -> sized members."""
+    edges = q_ngram_jaccard_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comps = cc_fn(edges)
+    sizes = comps.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
+    return comps.join(sizes, on="cluster_id").select(
+        "cluster_id", "doc_id", "n_members"
+    )
+
+
 def q_near_dup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the EXACT n-gram Jaccard edge set
     (>= 0.8): the SQL-oracle-checkable form of the clustering operator
@@ -1379,21 +1408,14 @@ def q_near_dup_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components,
     )
 
-    edges = q_ngram_jaccard_pairs(spark, sf_dir).select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
-    comps = connected_components(edges)
-    sizes = comps.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
-    return comps.join(sizes, on="cluster_id").select(
-        "cluster_id", "doc_id", "n_members"
-    )
+    return _exact_edge_clusters(spark, sf_dir, connected_components)
 
 
 def q_near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same clustering semantics computed by the alternating
-    large-star/small-star algorithm (O(log n) rounds regardless of
-    diameter — the scale path for graphs with deep chains, e.g.
-    transitive containment; operators/components.py
+    large-star/small-star algorithm (O(log^2 n) proven rounds
+    regardless of diameter — the scale path for graphs with deep
+    chains, e.g. transitive containment; operators/components.py
     connected_components_star) over the same exact edge set, pinned
     against the same DuckDB recursive-CTE fixpoint oracle — a
     cross-algorithm equivalence check, not just a cross-engine one."""
@@ -1401,14 +1423,7 @@ def q_near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         connected_components_star,
     )
 
-    edges = q_ngram_jaccard_pairs(spark, sf_dir).select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
-    comps = connected_components_star(edges)
-    sizes = comps.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
-    return comps.join(sizes, on="cluster_id").select(
-        "cluster_id", "doc_id", "n_members"
-    )
+    return _exact_edge_clusters(spark, sf_dir, connected_components_star)
 
 
 SQL_NEAR_DUP_CLUSTERS_EXACT = f"""

@@ -263,4 +263,30 @@ def test_star_cc_empty_and_self_loops(spark):
     loops = spark.createDataFrame([(5, 5), (7, 8)], "src long, dst long")
     got = {(r.doc_id, r.cluster_id)
            for r in connected_components_star(loops).collect()}
-    assert got == {(7, 7), (8, 7)}  # pure self-loop node drops like CC
+    # self-loop-only node stays as a singleton — contract parity with
+    # connected_components (verified identical below)
+    assert got == {(5, 5), (7, 7), (8, 7)}
+    from imageduplicatefinder_spark.operators.components import (
+        connected_components,
+    )
+
+    cc = {(r.doc_id, r.cluster_id)
+          for r in connected_components(loops).collect()}
+    assert got == cc
+
+
+def test_star_cc_warn_mode_returns_partial(spark):
+    import pytest
+
+    from imageduplicatefinder_spark.operators.components import (
+        connected_components_star,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "src long, dst long"
+    )
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        rows = connected_components_star(
+            chain, max_iterations=1, on_nonconverged="warn"
+        ).collect()
+    assert len(rows) == 41  # partial labels still cover every node
