@@ -75,6 +75,15 @@ class DedupConfig:
     max_band_size: int = 256
     shuffle_partitions: int = 32
 
+    # --- clustering --------------------------------------------------
+    # "labelprop": min-label propagation, O(diameter) rounds, one
+    # shuffle per round — right for shallow dup families (the default).
+    # "star": alternating large/small-star contraction, O(log^2 n)
+    # proven rounds regardless of diameter — pick when edges may chain
+    # deeply (transitive containment). Both produce identical labels
+    # (cross-algorithm oracle equivalence, near_dup_clusters_star).
+    cc_algorithm: str = "labelprop"
+
     # --- misc -------------------------------------------------------
     min_tokens: int = 1           # docs with fewer tokens skip MinHash/LSH
 
@@ -88,6 +97,8 @@ class DedupConfig:
             raise ValueError(f"unknown tokenizer {self.tokenizer!r}")
         if self.sketch not in ("simhash", "gradsign"):
             raise ValueError(f"unknown sketch family {self.sketch!r}")
+        if self.cc_algorithm not in ("labelprop", "star"):
+            raise ValueError(f"unknown cc_algorithm {self.cc_algorithm!r}")
 
     # identical config => identical hash => checkpoint reuse is safe
     def config_hash(self) -> str:

@@ -166,7 +166,14 @@ class DedupPipeline:
         # never re-iterates (previously the rounds re-ran and a
         # non-converging graph could abort a fully-checkpointed resume)
         def build_components() -> DataFrame:
-            comps = connected_components(all_edges)
+            if cfg.cc_algorithm == "star":
+                from imageduplicatefinder_spark.operators.components import (
+                    connected_components_star,
+                )
+
+                comps = connected_components_star(all_edges)
+            else:
+                comps = connected_components(all_edges)
             # nodes never seen in any edge stay singletons (dropped from
             # the clusters table anyway, ref: app/Commands.java:149-151)
             return (

@@ -179,3 +179,29 @@ def test_metrics_table_records_reused_rows(spark, corpus):
     m = p2.ckpt.metrics_table()
     assert m.filter("reused").count() > 0
     assert m.filter("NOT reused").count() > 0
+
+
+def test_pipeline_star_cc_produces_identical_plan(spark, tmp_path):
+    """cc_algorithm='star' must yield the same clusters and keeper plan
+    as the default label propagation (H4-style dispatch for the
+    clustering stage)."""
+    from imageduplicatefinder_spark.config import DedupConfig
+    from imageduplicatefinder_spark.plans.pipeline import DedupPipeline
+    from imageduplicatefinder_spark.sources.generator import (
+        corpus_to_dataframe,
+        generate_corpus,
+    )
+
+    docs = corpus_to_dataframe(
+        spark, generate_corpus(n_families=4, n_background=30, seed=17)
+    )
+    res_lp = DedupPipeline(
+        spark, DedupConfig(), checkpoint_dir=str(tmp_path / "lp")
+    ).run(docs)
+    res_star = DedupPipeline(
+        spark, DedupConfig(cc_algorithm="star"),
+        checkpoint_dir=str(tmp_path / "star"),
+    ).run(docs)
+    lp = {(r.cluster_id, r.path, r.action) for r in res_lp.plan.collect()}
+    star = {(r.cluster_id, r.path, r.action) for r in res_star.plan.collect()}
+    assert lp == star and len(lp) > 0
