@@ -578,6 +578,50 @@ FROM b
 """
 
 
+#: per-language keep rates (percent) for the stratified sample —
+#: constants of the operator, shared by the Spark query and its oracle
+#: (langs match the documents table: downsample the dominant en, keep
+#: most of the rare de/fr)
+_STRATA_RATES = {"en": 20, "zh": 50, "es": 60, "fr": 90, "de": 90}
+_STRATA_DEFAULT = 10
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling by language — the
+    rebalance-the-corpus primitive (downsample over-represented
+    languages, keep rare ones): row kept iff its md5-derived bucket
+    falls under the language's rate. Content-independent, partition-
+    independent, reproducible — the same properties as the train/val/
+    test split, per stratum (``df.sampleBy`` is seed+partition-layout
+    dependent and would never hash-match an oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        _hex8_to_long_spark(F.md5(F.col("doc_id").cast("string"))), F.lit(100)
+    )
+    rate = F.lit(_STRATA_DEFAULT)
+    for lang, r in sorted(_STRATA_RATES.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)
+    return (
+        docs.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < rate)
+        .select("doc_id", "lang", "bucket")
+    )
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+WITH b AS (
+  SELECT doc_id, lang,
+         {_hex8_to_long_sql("md5(CAST(doc_id AS VARCHAR))")} % 100 AS bucket
+  FROM documents
+)
+SELECT doc_id, lang, bucket
+FROM b
+WHERE bucket < CASE lang
+  {" ".join(f"WHEN '{lang}' THEN {r}" for lang, r in sorted(_STRATA_RATES.items()))}
+  ELSE {_STRATA_DEFAULT} END
+"""
+
+
 def q_lang_file_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 extension-filter analog: per-lang counts after a pushed-down
     predicate (ref: app/Commands.java:74)."""
@@ -1827,6 +1871,7 @@ QUERIES: dict[str, QueryFn] = {
     "doc_fingerprint": q_doc_fingerprint,
     "winnowing_fingerprints": q_winnowing_fingerprints,
     "train_val_test_split": q_train_val_test_split,
+    "stratified_sample": q_stratified_sample,
     "lang_file_counts": q_lang_file_counts,
     "bpe_token_counts": q_bpe_token_counts,
     # embeddings / similarity search
@@ -1882,6 +1927,7 @@ ORACLES: dict[str, str] = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "winnowing_fingerprints": SQL_WINNOWING_FINGERPRINTS,
     "train_val_test_split": SQL_TRAIN_VAL_TEST_SPLIT,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "lang_file_counts": SQL_LANG_FILE_COUNTS,
     "bpe_token_counts": SQL_BPE_TOKEN_COUNTS,
     "embedding_norms": SQL_EMBEDDING_NORMS,
