@@ -102,7 +102,16 @@ class DedupConfig:
 
     # identical config => identical hash => checkpoint reuse is safe
     def config_hash(self) -> str:
-        blob = json.dumps(asdict(self), sort_keys=True).encode()
+        knobs = asdict(self)
+        # cc_algorithm is EXCLUDED: both algorithms produce identical
+        # labels (cross-algorithm oracle equivalence, property-tested),
+        # so checkpoints — including the components stage — stay valid
+        # when a user flips to "star" to recover a run that label
+        # propagation could not converge (the motivating scenario;
+        # invalidating hours of signature/band/edge work over an
+        # output-identical knob would be pure waste)
+        knobs.pop("cc_algorithm", None)
+        blob = json.dumps(knobs, sort_keys=True).encode()
         return hashlib.sha256(blob).hexdigest()[:16]
 
     @staticmethod

@@ -544,6 +544,16 @@ FROM documents
 """
 
 
+def _doc_bucket() -> Column:
+    """Percentile bucket 0..99 of a doc_id: md5-derived, content- and
+    partition-independent — the shared primitive behind the
+    train/val/test split and the stratified sample (one definition so
+    the two can never desynchronize)."""
+    return F.pmod(
+        _hex8_to_long_spark(F.md5(F.col("doc_id").cast("string"))), F.lit(100)
+    )
+
+
 def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment — the reproducible-split
     primitive every training-data pipeline needs: bucket = md5 of the
@@ -551,9 +561,7 @@ def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs/partitionings — unlike ``df.sample``/``randomSplit``, whose
     output depends on partition layout). 90/5/5 split."""
     docs = load_table(spark, sf_dir, "documents")
-    bucket = F.pmod(
-        _hex8_to_long_spark(F.md5(F.col("doc_id").cast("string"))), F.lit(100)
-    )
+    bucket = _doc_bucket()
     return docs.select(
         "doc_id",
         bucket.alias("bucket"),
@@ -595,9 +603,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     test split, per stratum (``df.sampleBy`` is seed+partition-layout
     dependent and would never hash-match an oracle)."""
     docs = load_table(spark, sf_dir, "documents")
-    bucket = F.pmod(
-        _hex8_to_long_spark(F.md5(F.col("doc_id").cast("string"))), F.lit(100)
-    )
+    bucket = _doc_bucket()
     rate = F.lit(_STRATA_DEFAULT)
     for lang, r in sorted(_STRATA_RATES.items()):
         rate = F.when(F.col("lang") == lang, F.lit(r)).otherwise(rate)

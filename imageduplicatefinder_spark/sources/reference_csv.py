@@ -40,9 +40,20 @@ def _two64() -> F.Column:
 
 def _unsigned_str_to_long(col: F.Column) -> F.Column:
     """Java ``Long.parseUnsignedLong`` semantics: decimal text in
-    [0, 2^64) -> signed 64-bit two's complement."""
+    [0, 2^64) -> signed 64-bit two's complement; out-of-range input
+    RAISES like parseUnsignedLong throws (silently aliasing 2^64 to 0
+    would invent Hamming-0 duplicates)."""
     d = col.cast("decimal(20,0)")
-    return F.when(d >= _two63(), d - _two64()).otherwise(d).cast("long")
+    valid = d.isNotNull() & (d < _two64().cast("decimal(21,0)"))
+    return (
+        F.when(valid, F.when(d >= _two63(), d - _two64()).otherwise(d))
+        .otherwise(
+            F.raise_error(
+                F.concat(F.lit("hash out of unsigned-64 range: "), col)
+            ).cast("decimal(21,0)")
+        )
+        .cast("long")
+    )
 
 
 def _long_to_unsigned_str(col: F.Column) -> F.Column:
@@ -54,6 +65,16 @@ def _long_to_unsigned_str(col: F.Column) -> F.Column:
         .otherwise(d)
         .cast("decimal(20,0)")
         .cast("string")
+    )
+
+
+def _required(col_name: str) -> F.Column:
+    """NULL in a line-format sink would silently produce a malformed
+    line that vanishes on re-read (concat_ws drops nulls) — raise
+    instead."""
+    c = F.col(col_name)
+    return F.when(c.isNotNull(), c.cast("string")).otherwise(
+        F.raise_error(F.lit(f"reference CSV sink: NULL {col_name}"))
     )
 
 
@@ -79,8 +100,8 @@ def write_reference_hashes(
     files, each a valid hashes.csv fragment; ``coalesce(1)`` upstream
     for a single file."""
     df.select(
-        F.concat_ws(",", F.col(path_col),
-                    _long_to_unsigned_str(F.col(sketch_col))).alias("value")
+        F.concat(_required(path_col), F.lit(","),
+                 _long_to_unsigned_str(_required(sketch_col))).alias("value")
     ).write.mode("overwrite").text(out_dir)
 
 
@@ -105,7 +126,8 @@ def write_reference_clusters(
     Commands.java:145-155; singleton-dropping is the caller's concern,
     as in the reference's write loop)."""
     df.select(
-        F.concat_ws(",", F.col(cluster_col), F.col(path_col)).alias("value")
+        F.concat(_required(cluster_col), F.lit(","),
+                 _required(path_col)).alias("value")
     ).write.mode("overwrite").text(out_dir)
 
 
@@ -115,6 +137,11 @@ def read_reference_plan(spark: SparkSession, path: str) -> DataFrame:
     (ref: WebServer.java:377-385)."""
     raw = (
         spark.read.option("header", "true")
+        # doubled-quote escaping (commons-csv DEFAULT convention, which
+        # the reference's loader expects) and multiLine so quoted
+        # newline-bearing reasons round-trip through our own writer
+        .option("escape", '"')
+        .option("multiLine", "true")
         .csv(path)
         .withColumnRenamed("clusterId", "cluster_id")
     )
@@ -141,5 +168,9 @@ def write_reference_plan(df: DataFrame, out_dir: str) -> None:
         )
         .write.mode("overwrite")
         .option("header", "true")
+        # escape = quote char -> doubled-quote escaping, the only form
+        # commons-csv DEFAULT parses (Spark's default backslash escaping
+        # would break the reference's loader on quote-bearing fields)
+        .option("escape", '"')
         .csv(out_dir)
     )

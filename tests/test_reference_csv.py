@@ -97,3 +97,43 @@ def test_imported_hashes_drive_radius_search(spark, tmp_path):
     ids = sk.selectExpr("xxhash64(path) AS id", "sketch")
     pairs = hamming_pairs(ids, radius=2, id_col="id", sketch_col="sketch")
     assert pairs.count() == 1  # only (a, b)
+
+
+def test_out_of_range_hash_raises(spark, tmp_path):
+    """parseUnsignedLong parity: 2^64 must raise, not alias to 0 (a
+    silent 0-sketch would fabricate Hamming-0 duplicates)."""
+    import pytest
+
+    f = tmp_path / "bad.csv"
+    f.write_text("x.jpg,18446744073709551616\n")
+    with pytest.raises(Exception, match="out of unsigned-64 range"):
+        read_reference_hashes(spark, str(f)).collect()
+
+
+def test_null_sink_columns_raise(spark, tmp_path):
+    import pytest
+
+    df = spark.createDataFrame([("a.jpg", None)], "path string, sketch long")
+    with pytest.raises(Exception, match="NULL sketch"):
+        write_reference_hashes(df, str(tmp_path / "h"))
+
+
+def test_plan_quotes_and_newlines_round_trip(spark, tmp_path):
+    """Doubled-quote escaping + multiLine: quote- and newline-bearing
+    fields must survive our own writer/reader pair (and the doubled
+    quotes are what the reference's commons-csv loader parses)."""
+    rows = [("u1", "keep", 'photos/"best" pics/a.jpg', "line1\nline2")]
+    df = spark.createDataFrame(
+        rows, "cluster_id string, action string, path string, reason string"
+    )
+    out = str(tmp_path / "plan_q")
+    write_reference_plan(df, out)
+    back = read_reference_plan(spark, out).collect()
+    assert len(back) == 1
+    assert back[0].path == 'photos/"best" pics/a.jpg'
+    assert back[0].reason == "line1\nline2"
+    # on-disk form uses doubled quotes, not backslash escapes
+    import glob
+
+    text = "".join(open(p).read() for p in glob.glob(out + "/*.csv"))
+    assert '""best""' in text and '\\"' not in text

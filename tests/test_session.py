@@ -19,3 +19,15 @@ def test_local_cores_none_for_cluster_masters():
     assert _local_cores("spark://host:7077") is None
     assert _local_cores("k8s://https://host:443") is None
     assert _local_cores("localhost") is None   # not a local[] shape
+
+
+def test_cc_algorithm_does_not_invalidate_checkpoints():
+    """Both CC algorithms produce identical labels, so flipping the knob
+    must reuse existing checkpoints (same config hash) — the recovery
+    path for a run label propagation could not converge."""
+    from imageduplicatefinder_spark.config import DedupConfig
+
+    assert (DedupConfig().config_hash()
+            == DedupConfig(cc_algorithm="star").config_hash())
+    assert (DedupConfig().config_hash()
+            != DedupConfig(shingle_k=5).config_hash())
