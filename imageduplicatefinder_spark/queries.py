@@ -389,6 +389,145 @@ FROM documents
 """
 
 
+def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality gate (Rae et al. 2021, §A1.1 —
+    published filter rules, adapted to this corpus's word tokenizer):
+    keep iff word count in [20, 100000], mean word length in [3, 10],
+    >= 80% of words contain an alphabetic character, and >= 2 stopword
+    hits. Emits the per-rule evidence columns so thresholds are
+    tunable; entirely Catalyst expressions (no Python)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = _words()
+    n = F.size(w)
+    mean_len = F.floor(
+        F.aggregate(
+            F.transform(w, lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        * 1000
+        / n
+    )
+    alpha_frac = F.floor(
+        F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))) * 1000 / n
+    )
+    stop = F.array(*[F.lit(s) for s in _STOPWORDS])
+    hits = F.size(F.filter(w, lambda x: F.array_contains(stop, x)))
+    keep = (
+        (n >= 20)
+        & (n <= 100000)
+        & mean_len.between(3000, 10000)
+        & (alpha_frac >= 800)
+        & (hits >= 2)
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        mean_len.cast("long").alias("mean_word_len_milli"),
+        alpha_frac.cast("long").alias("alpha_word_frac_milli"),
+        hits.cast("long").alias("stopword_hits"),
+        keep.alias("keep"),
+    )
+
+
+SQL_GOPHER_QUALITY_FILTER = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(w) AS n_words,
+         CAST(floor(list_sum(list_transform(w, x -> length(x))) * 1000.0
+              / len(w)) AS BIGINT) AS mean_word_len_milli,
+         CAST(floor(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+              * 1000.0 / len(w)) AS BIGINT) AS alpha_word_frac_milli,
+         CAST(len(list_filter(w,
+              x -> list_contains(['the','a','of','and','to','in','is'], x)))
+              AS BIGINT) AS stopword_hits
+  FROM t
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len_milli,
+       alpha_word_frac_milli, stopword_hits,
+       (n_words BETWEEN 20 AND 100000
+        AND mean_word_len_milli BETWEEN 3000 AND 10000
+        AND alpha_word_frac_milli >= 800
+        AND stopword_hits >= 2) AS keep
+FROM m
+"""
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1 "fraction
+    of characters in most common n-gram"): per doc, the share of word
+    occurrences taken by the single most frequent word and most
+    frequent 2-gram. Repetitive boilerplate (generated code, template
+    spam) spikes both. Distributed shape: explode -> partial-agg
+    counts -> per-doc max/sum — no per-doc Python, no window over a
+    mega-group."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = _words()
+    n = F.size(w)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+    )
+    base = docs.select("doc_id", w.alias("w"), bigrams.alias("bg"))
+    base = base.localCheckpoint(eager=False)  # consumed by both explodes
+
+    def top_share(col: str, out: str) -> DataFrame:
+        occ = base.select("doc_id", F.explode(col).alias("g"))
+        cnt = occ.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+        return cnt.groupBy("doc_id").agg(
+            F.floor(F.max("c") * 1000 / F.sum("c")).cast("long").alias(out)
+        )
+
+    words_share = top_share("w", "top_word_milli")
+    bigram_share = top_share("bg", "top_bigram_milli")
+    return (
+        docs.select("doc_id")
+        .join(words_share, on="doc_id", how="left")
+        .join(bigram_share, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("top_word_milli", F.lit(0)).alias("top_word_milli"),
+            F.coalesce("top_bigram_milli", F.lit(0)).alias("top_bigram_milli"),
+        )
+    )
+
+
+SQL_REPETITION_STATS = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+wocc AS (
+  SELECT doc_id, unnest(w) AS g FROM t
+),
+wtop AS (
+  SELECT doc_id, CAST(floor(max(c) * 1000.0 / sum(c)) AS BIGINT)
+           AS top_word_milli
+  FROM (SELECT doc_id, g, count(*) AS c FROM wocc GROUP BY doc_id, g)
+  GROUP BY doc_id
+),
+bocc AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+           i -> w[i] || ' ' || w[i + 1])) AS g
+  FROM t WHERE len(w) >= 2
+),
+btop AS (
+  SELECT doc_id, CAST(floor(max(c) * 1000.0 / sum(c)) AS BIGINT)
+           AS top_bigram_milli
+  FROM (SELECT doc_id, g, count(*) AS c FROM bocc GROUP BY doc_id, g)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(wtop.top_word_milli, 0) AS top_word_milli,
+       coalesce(btop.top_bigram_milli, 0) AS top_bigram_milli
+FROM documents d
+LEFT JOIN wtop ON wtop.doc_id = d.doc_id
+LEFT JOIN btop ON btop.doc_id = d.doc_id
+"""
+
+
 def q_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram-free language ID heuristic: English stopword density."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1873,6 +2012,8 @@ QUERIES: dict[str, QueryFn] = {
     # text analysis
     "token_stats": q_token_stats,
     "quality_scores": q_quality_scores,
+    "gopher_quality_filter": q_gopher_quality_filter,
+    "repetition_stats": q_repetition_stats,
     "lang_id_heuristic": q_lang_id_heuristic,
     "doc_fingerprint": q_doc_fingerprint,
     "winnowing_fingerprints": q_winnowing_fingerprints,
@@ -1929,6 +2070,8 @@ ORACLES: dict[str, str] = {
     "ann_lsh_bucketed": SQL_ANN_LSH_BUCKETED,
     "token_stats": SQL_TOKEN_STATS,
     "quality_scores": SQL_QUALITY_SCORES,
+    "gopher_quality_filter": SQL_GOPHER_QUALITY_FILTER,
+    "repetition_stats": SQL_REPETITION_STATS,
     "lang_id_heuristic": SQL_LANG_ID_HEURISTIC,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "winnowing_fingerprints": SQL_WINNOWING_FINGERPRINTS,
