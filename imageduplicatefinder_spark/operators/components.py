@@ -107,6 +107,40 @@ def connected_components(
     )
 
 
+def refresh_clusters(
+    old_components: DataFrame,
+    new_edges: DataFrame,
+    algorithm: str = "star",
+) -> DataFrame:
+    """Fold freshly discovered edges into an existing clustering — the
+    periodic pass consuming ``incremental_dedup``'s edge output
+    (streaming/dedup_stream.py) without re-running candidate
+    generation over the historical corpus.
+
+    An existing label (doc_id, cluster_id) IS an edge to the cluster's
+    representative, so the union of label-edges and new edges followed
+    by connected components yields exactly the clustering of the full
+    accumulated graph: new edges can join previously separate clusters
+    (their members relabel to the merged minimum) and introduce new
+    docs. Star contraction is the default — merge chains across many
+    increments can get long, which is the deep-path shape label
+    propagation handles worst.
+
+    old_components: (doc_id, cluster_id); new_edges: (src, dst).
+    Returns (doc_id, cluster_id) covering every old doc and every doc
+    in a new edge.
+    """
+    if algorithm not in ("star", "labelprop"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    label_edges = old_components.select(
+        F.col("doc_id").alias("src"), F.col("cluster_id").alias("dst")
+    )
+    all_edges = label_edges.unionByName(new_edges.select("src", "dst"))
+    if algorithm == "star":
+        return connected_components_star(all_edges)
+    return connected_components(all_edges)
+
+
 def connected_components_star(
     edges: DataFrame,
     max_iterations: int = 50,

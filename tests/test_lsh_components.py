@@ -290,3 +290,40 @@ def test_star_cc_warn_mode_returns_partial(spark):
             chain, max_iterations=1, on_nonconverged="warn"
         ).collect()
     assert len(rows) == 41  # partial labels still cover every node
+
+
+def test_refresh_clusters_merges_and_extends(spark):
+    """Incremental re-clustering: label-edges ∪ new edges must merge
+    previously separate clusters, keep untouched singletons, and admit
+    brand-new docs — identical to a full recompute over the
+    accumulated edge set."""
+    from imageduplicatefinder_spark.operators.components import (
+        connected_components,
+        refresh_clusters,
+    )
+
+    old_edges = [(1, 2), (5, 6)]
+    old = connected_components(
+        spark.createDataFrame(old_edges, "src long, dst long")
+    ).unionByName(
+        spark.createDataFrame([(9, 9)], "doc_id long, cluster_id long")
+    )
+    new_edges_rows = [(2, 5), (10, 11)]
+    new_edges = spark.createDataFrame(new_edges_rows, "src long, dst long")
+
+    got = {(r.doc_id, r.cluster_id)
+           for r in refresh_clusters(old, new_edges).collect()}
+    full = connected_components(
+        spark.createDataFrame(old_edges + new_edges_rows + [(9, 9)],
+                              "src long, dst long")
+    )
+    want = {(r.doc_id, r.cluster_id) for r in full.collect()}
+    assert got == want
+    assert (9, 9) in got                        # singleton preserved
+    assert {(1, 1), (2, 1), (5, 1), (6, 1)} <= got   # merged to min 1
+    assert {(10, 10), (11, 10)} <= got          # new docs admitted
+
+    lp = {(r.doc_id, r.cluster_id)
+          for r in refresh_clusters(old, new_edges,
+                                    algorithm="labelprop").collect()}
+    assert lp == got
