@@ -109,7 +109,10 @@ class DedupConfig:
         # when a user flips to "star" to recover a run that label
         # propagation could not converge (the motivating scenario;
         # invalidating hours of signature/band/edge work over an
-        # output-identical knob would be pure waste)
+        # output-identical knob would be pure waste). pop (not pin):
+        # the hashed blob is then byte-identical to the pre-knob config
+        # format, so checkpoints from before the knob existed stay
+        # valid too.
         knobs.pop("cc_algorithm", None)
         blob = json.dumps(knobs, sort_keys=True).encode()
         return hashlib.sha256(blob).hexdigest()[:16]

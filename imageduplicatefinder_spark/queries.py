@@ -467,10 +467,19 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     w = _words()
     n = F.size(w)
-    bigrams = F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
-    )
+    # guard n < 2: sequence(1, 0) yields a DESCENDING [1, 0] in Spark
+    # and element_at(w, 0)/element_at(w, 2) then raise — single-word
+    # docs must produce an empty bigram list (= DuckDB's empty
+    # generate_series + len >= 2 filter), not a job abort
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i), F.element_at(w, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     base = docs.select("doc_id", w.alias("w"), bigrams.alias("bg"))
     base = base.localCheckpoint(eager=False)  # consumed by both explodes
 

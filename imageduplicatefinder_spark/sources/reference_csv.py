@@ -99,9 +99,12 @@ def write_reference_hashes(
     Commands.java:87-94). Distributed text sink: a directory of part
     files, each a valid hashes.csv fragment; ``coalesce(1)`` upstream
     for a single file."""
+    sk = F.col(sketch_col)
+    unsigned = F.when(sk.isNotNull(), _long_to_unsigned_str(sk)).otherwise(
+        F.raise_error(F.lit(f"reference CSV sink: NULL {sketch_col}"))
+    )
     df.select(
-        F.concat(_required(path_col), F.lit(","),
-                 _long_to_unsigned_str(_required(sketch_col))).alias("value")
+        F.concat(_required(path_col), F.lit(","), unsigned).alias("value")
     ).write.mode("overwrite").text(out_dir)
 
 
@@ -134,7 +137,13 @@ def write_reference_clusters(
 def read_reference_plan(spark: SparkSession, path: str) -> DataFrame:
     """plan.csv -> (cluster_id, action, path, reason). Header-driven
     CSV; actions normalize to keep/delete with unknown -> keep
-    (ref: WebServer.java:377-385)."""
+    (ref: WebServer.java:377-385).
+
+    Quote handling is the doubled-quote convention (commons-csv
+    DEFAULT, what the reference reads and writes). A plan written by a
+    generic Spark ``df.write.csv`` without ``option("escape", '\"')``
+    uses backslash escaping instead and needs that option adjusted on
+    this reader — it is not a reference-format file."""
     raw = (
         spark.read.option("header", "true")
         # doubled-quote escaping (commons-csv DEFAULT convention, which

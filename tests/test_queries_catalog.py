@@ -76,3 +76,23 @@ def test_winnowing_shared_substring_guarantee(spark):
         by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
     assert by_doc[1] & by_doc[2], "shared 8-token run must share a fingerprint"
     assert not (by_doc[1] & by_doc[3])
+
+
+def test_repetition_stats_single_word_and_empty_docs(spark, tmp_path):
+    """Degenerate docs (one word, empty string) must yield empty bigram
+    stats, not an element_at runtime error (sequence(1,0) is DESCENDING
+    in Spark)."""
+    from imageduplicatefinder_spark.queries import QUERIES
+
+    docs = spark.createDataFrame(
+        [(1, "hello", "en", 5), (2, "", "en", 0),
+         (3, "two words", "en", 9)],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    sf = str(tmp_path)
+    docs.write.parquet(sf + "/documents.parquet")
+    got = {r.doc_id: (r.top_word_milli, r.top_bigram_milli)
+           for r in QUERIES["repetition_stats"](spark, sf).collect()}
+    assert got[1] == (1000, 0)   # one word = 100% share, no bigrams
+    assert got[2] == (1000, 0)   # split('') -> [''] single token
+    assert got[3] == (500, 1000)
