@@ -278,6 +278,65 @@ WHERE floor(inter * 1000.0 / least(sa.n, sb.n)) >= 900
 """
 
 
+def q_containment_confirmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 exact confirmation pass, oracle-pinned: the shingle-level
+    containment candidates (>= 0.9) re-checked by literal substring
+    scan — is the smaller text verbatim (or after whitespace collapse)
+    inside the larger (ref: BKTreeIndex.java:42-43 exact verify;
+    north_star suffix/containment matching)? Runs the Arrow mapInPandas
+    operator (operators/containment.py) whose str.find/canonicalization
+    semantics DuckDB mirrors with strpos/regexp_replace — so the exact
+    confirm stage itself gets a cross-engine value-hash check, not just
+    its shingle pre-filter."""
+    from imageduplicatefinder_spark.operators.containment import (
+        containment_verify,
+    )
+
+    pairs = q_ngram_containment_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    return containment_verify(pairs, docs)
+
+
+SQL_CONTAINMENT_CONFIRMED = f"""
+WITH {_SHINGLE_CTE},
+cand AS (
+  SELECT doc_a AS src, doc_b AS dst
+  FROM pair_inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE floor(inter * 1000.0 / least(sa.n, sb.n)) >= 900
+),
+j AS (
+  SELECT c.src, c.dst,
+         CASE WHEN length(a.text) <= length(b.text) THEN a.text
+              ELSE b.text END AS small,
+         CASE WHEN length(a.text) <= length(b.text) THEN b.text
+              ELSE a.text END AS big
+  FROM cand c
+  JOIN documents a ON a.doc_id = c.src
+  JOIN documents b ON b.doc_id = c.dst
+),
+k AS (
+  SELECT src, dst, small, big,
+         trim(regexp_replace(small, '\\s+', ' ', 'g')) AS csmall,
+         trim(regexp_replace(big, '\\s+', ' ', 'g')) AS cbig,
+         CASE WHEN small = '' THEN 0
+              ELSE strpos(big, small) - 1 END AS off
+  FROM j
+)
+SELECT src, dst,
+       (off >= 0) AS contained,
+       (off >= 0 OR csmall = '' OR strpos(cbig, csmall) > 0)
+         AS contained_canonical,
+       CAST(off AS BIGINT) AS "offset"
+FROM k
+"""
+
+
 def q_dedup_keeper_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 keeper selection over token-set dup groups: biggest doc KEEPs
     (ref tiebreak order, src/main/java/app/Commands.java:212-233).
@@ -2014,6 +2073,7 @@ QUERIES: dict[str, QueryFn] = {
     "token_set_dup_groups": q_token_set_dup_groups,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "ngram_containment_pairs": q_ngram_containment_pairs,
+    "containment_confirmed": q_containment_confirmed,
     "dedup_keeper_plan": q_dedup_keeper_plan,
     "quarantine_plan": q_quarantine_plan,
     "near_dup_clusters_exact": q_near_dup_clusters_exact,
@@ -2070,6 +2130,7 @@ ORACLES: dict[str, str] = {
     "token_set_dup_groups": SQL_TOKEN_SET_DUP_GROUPS,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "ngram_containment_pairs": SQL_NGRAM_CONTAINMENT_PAIRS,
+    "containment_confirmed": SQL_CONTAINMENT_CONFIRMED,
     "dedup_keeper_plan": SQL_DEDUP_KEEPER_PLAN,
     "quarantine_plan": SQL_QUARANTINE_PLAN,
     "near_dup_clusters_exact": SQL_NEAR_DUP_CLUSTERS_EXACT,
