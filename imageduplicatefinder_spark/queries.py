@@ -389,6 +389,44 @@ FROM sized WHERE _n >= 2
 """
 
 
+def q_deduped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step a training pipeline actually wants: materialize
+    the cleaned corpus — every document minus the keeper plan's DELETE
+    rows (singletons and keepers survive). The Spark shape is a
+    left-anti join against the (small) DELETE set, which AQE broadcasts;
+    the decision table stays the audit artifact (S9: the engine emits
+    decisions, this materializes their effect)."""
+    docs = load_table(spark, sf_dir, "documents")
+    deletes = (
+        q_dedup_keeper_plan(spark, sf_dir)
+        .filter(F.col("action") == "DELETE")
+        .select("doc_id")
+    )
+    return docs.join(deletes, on="doc_id", how="left_anti").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+SQL_DEDUPED_CORPUS = """
+WITH g AS (
+  SELECT doc_id, n_chars,
+         sha256(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' '))
+           AS set_hash
+  FROM documents
+), sized AS (
+  SELECT *, count(*) OVER (PARTITION BY set_hash) AS _n,
+         row_number() OVER (PARTITION BY set_hash
+                            ORDER BY n_chars DESC, doc_id) AS _rn
+  FROM g
+), deletes AS (
+  SELECT doc_id FROM sized WHERE _n >= 2 AND _rn > 1
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM deletes x WHERE x.doc_id = d.doc_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # B. text analysis over `documents`
 # ---------------------------------------------------------------------------
@@ -2075,6 +2113,7 @@ QUERIES: dict[str, QueryFn] = {
     "ngram_containment_pairs": q_ngram_containment_pairs,
     "containment_confirmed": q_containment_confirmed,
     "dedup_keeper_plan": q_dedup_keeper_plan,
+    "deduped_corpus": q_deduped_corpus,
     "quarantine_plan": q_quarantine_plan,
     "near_dup_clusters_exact": q_near_dup_clusters_exact,
     "near_dup_clusters_star": q_near_dup_clusters_star,
@@ -2132,6 +2171,7 @@ ORACLES: dict[str, str] = {
     "ngram_containment_pairs": SQL_NGRAM_CONTAINMENT_PAIRS,
     "containment_confirmed": SQL_CONTAINMENT_CONFIRMED,
     "dedup_keeper_plan": SQL_DEDUP_KEEPER_PLAN,
+    "deduped_corpus": SQL_DEDUPED_CORPUS,
     "quarantine_plan": SQL_QUARANTINE_PLAN,
     "near_dup_clusters_exact": SQL_NEAR_DUP_CLUSTERS_EXACT,
     "near_dup_clusters_star": SQL_NEAR_DUP_CLUSTERS_EXACT,
