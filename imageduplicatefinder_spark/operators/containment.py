@@ -33,8 +33,18 @@ CONTAINMENT_SCHEMA = (
 )
 
 
+import re
+
+# the EXPLICIT ASCII whitespace class — not str.split() (which collapses
+# every Unicode space and \v) and not regex \s (whose membership differs
+# between Python re and RE2): this exact set is what the DuckDB oracle's
+# regexp_replace uses, so canonical-containment decisions are
+# bit-identical cross-engine (queries.py SQL_CONTAINMENT_CONFIRMED)
+_WS_RUN = re.compile(r"[ \t\n\f\r]+")
+
+
 def _canon(s: str) -> str:
-    return " ".join(s.split())
+    return _WS_RUN.sub(" ", s).strip(" ")
 
 
 def containment_verify(pairs: DataFrame, documents: DataFrame) -> DataFrame:
@@ -60,6 +70,10 @@ def containment_verify(pairs: DataFrame, documents: DataFrame) -> DataFrame:
             for src, dst, ca, cb in zip(
                 pdf["src"], pdf["dst"], pdf["content_src"], pdf["content_dst"]
             ):
+                # NULL content = empty (the oracle coalesces identically;
+                # a None would otherwise abort the whole task)
+                ca = ca or ""
+                cb = cb or ""
                 small, big = (ca, cb) if len(ca) <= len(cb) else (cb, ca)
                 off = big.find(small) if small else 0
                 canon_hit = off >= 0 or _canon(small) in _canon(big)
@@ -91,8 +105,12 @@ def containment_verify_grouped(pairs: DataFrame, documents: DataFrame) -> DataFr
                        F.col("content").alias("content_dst")), on="dst")
         .withColumn(
             "host_id",
+            # null-safe lengths: NULL content counts as empty, else the
+            # NULL comparison would mis-crown the null doc as host
             F.when(
-                F.length("content_dst") >= F.length("content_src"), F.col("dst")
+                F.coalesce(F.length("content_dst"), F.lit(0))
+                >= F.coalesce(F.length("content_src"), F.lit(0)),
+                F.col("dst"),
             ).otherwise(F.col("src")),
         )
     )
@@ -103,12 +121,12 @@ def containment_verify_grouped(pairs: DataFrame, documents: DataFrame) -> DataFr
         # all rows share host_id: canonicalize the host lazily, once
         first = pdf.iloc[0]
         host = (first["content_dst"] if first["dst"] == first["host_id"]
-                else first["content_src"])
+                else first["content_src"]) or ""
         host_canon = None
         for src, dst, ca, cb in zip(
             pdf["src"], pdf["dst"], pdf["content_src"], pdf["content_dst"]
         ):
-            small = ca if dst == first["host_id"] else cb
+            small = (ca if dst == first["host_id"] else cb) or ""
             off = host.find(small) if small else 0
             canon_hit = off >= 0
             if not canon_hit:

@@ -312,18 +312,21 @@ cand AS (
 ),
 j AS (
   SELECT c.src, c.dst,
-         CASE WHEN length(a.text) <= length(b.text) THEN a.text
-              ELSE b.text END AS small,
-         CASE WHEN length(a.text) <= length(b.text) THEN b.text
-              ELSE a.text END AS big
+         CASE WHEN length(coalesce(a.text, '')) <= length(coalesce(b.text, ''))
+              THEN coalesce(a.text, '') ELSE coalesce(b.text, '') END AS small,
+         CASE WHEN length(coalesce(a.text, '')) <= length(coalesce(b.text, ''))
+              THEN coalesce(b.text, '') ELSE coalesce(a.text, '') END AS big
   FROM cand c
   JOIN documents a ON a.doc_id = c.src
   JOIN documents b ON b.doc_id = c.dst
 ),
 k AS (
+  -- the EXPLICIT ASCII whitespace class, matching the operator's
+  -- _canon exactly (str.split would collapse Unicode spaces; regex \\s
+  -- membership differs between Python re and RE2)
   SELECT src, dst, small, big,
-         trim(regexp_replace(small, '\\s+', ' ', 'g')) AS csmall,
-         trim(regexp_replace(big, '\\s+', ' ', 'g')) AS cbig,
+         trim(regexp_replace(small, '[ \\t\\n\\f\\r]+', ' ', 'g')) AS csmall,
+         trim(regexp_replace(big, '[ \\t\\n\\f\\r]+', ' ', 'g')) AS cbig,
          CASE WHEN small = '' THEN 0
               ELSE strpos(big, small) - 1 END AS off
   FROM j

@@ -71,9 +71,10 @@ def _long_to_unsigned_str(col: F.Column) -> F.Column:
 def _required(col_name: str) -> F.Column:
     """NULL in a line-format sink would silently produce a malformed
     line that vanishes on re-read (concat_ws drops nulls) — raise
-    instead."""
+    instead. Returns the column with its original type; callers cast
+    as they need."""
     c = F.col(col_name)
-    return F.when(c.isNotNull(), c.cast("string")).otherwise(
+    return F.when(c.isNotNull(), c).otherwise(
         F.raise_error(F.lit(f"reference CSV sink: NULL {col_name}"))
     )
 
@@ -99,12 +100,12 @@ def write_reference_hashes(
     Commands.java:87-94). Distributed text sink: a directory of part
     files, each a valid hashes.csv fragment; ``coalesce(1)`` upstream
     for a single file."""
-    sk = F.col(sketch_col)
-    unsigned = F.when(sk.isNotNull(), _long_to_unsigned_str(sk)).otherwise(
-        F.raise_error(F.lit(f"reference CSV sink: NULL {sketch_col}"))
-    )
     df.select(
-        F.concat(_required(path_col), F.lit(","), unsigned).alias("value")
+        F.concat(
+            _required(path_col).cast("string"),
+            F.lit(","),
+            _long_to_unsigned_str(_required(sketch_col)),
+        ).alias("value")
     ).write.mode("overwrite").text(out_dir)
 
 
@@ -129,8 +130,8 @@ def write_reference_clusters(
     Commands.java:145-155; singleton-dropping is the caller's concern,
     as in the reference's write loop)."""
     df.select(
-        F.concat(_required(cluster_col), F.lit(","),
-                 _required(path_col)).alias("value")
+        F.concat(_required(cluster_col).cast("string"), F.lit(","),
+                 _required(path_col).cast("string")).alias("value")
     ).write.mode("overwrite").text(out_dir)
 
 

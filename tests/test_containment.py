@@ -87,3 +87,32 @@ def test_containment_candidates_find_high_ratio_pairs(spark):
     assert want in got
     for a, b in got:  # unrelated doc never pairs
         assert ids["unrelated.py"] not in (a, b)
+
+
+def test_containment_null_content_treated_as_empty(spark):
+    """NULL content must behave as '' (trivially contained), not abort
+    the Arrow task — matching the oracle's coalesce."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, "anything")], "doc_id long, content string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "src long, dst long")
+    r = containment_verify(pairs, docs).collect()[0]
+    assert r.contained and r.offset == 0
+    from imageduplicatefinder_spark.operators.containment import (
+        containment_verify_grouped,
+    )
+
+    g = containment_verify_grouped(pairs, docs).collect()[0]
+    assert g.contained and g.offset == 0
+
+
+def test_canon_is_explicit_ascii_whitespace_only(spark):
+    """_canon collapses exactly [ \\t\\n\\f\\r] (the oracle's regex
+    class); \\x0b and Unicode spaces are NOT whitespace here, unlike
+    str.split() — cross-engine canonical decisions depend on it."""
+    from imageduplicatefinder_spark.operators.containment import _canon
+
+    assert _canon("a \t\n\f\r b") == "a b"
+    assert _canon("  x  ") == "x"
+    assert _canon("a\x0bb") == "a\x0bb"      # vertical tab preserved
+    assert _canon("a\xa0b") == "a\xa0b"      # NBSP preserved
