@@ -876,6 +876,85 @@ WHERE bucket < CASE lang
 """
 
 
+def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: the 50 most document-frequent terms with
+    df and total occurrences — the Zipf-head report that drives
+    stopword lists, hot-shingle caps, and tokenizer sanity checks.
+    Deterministic top-k: ordered by (df DESC, total DESC, term)."""
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select("doc_id", F.explode(_words()).alias("term"))
+    per_doc = occ.groupBy("term", "doc_id").agg(F.count("*").alias("c"))
+    stats = per_doc.groupBy("term").agg(
+        F.count("*").alias("df"), F.sum("c").alias("total")
+    )
+    return (
+        stats.orderBy(F.desc("df"), F.desc("total"), F.asc("term"))
+        .limit(50)
+        .select("term", "df", "total")
+    )
+
+
+SQL_VOCAB_TOP_TERMS = """
+WITH occ AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+per_doc AS (
+  SELECT term, doc_id, count(*) AS c FROM occ GROUP BY term, doc_id
+),
+stats AS (
+  SELECT term, count(*) AS df, sum(c) AS total
+  FROM per_doc GROUP BY term
+)
+SELECT term, CAST(df AS BIGINT) AS df, CAST(total AS BIGINT) AS total
+FROM stats
+ORDER BY df DESC, total DESC, term
+LIMIT 50
+"""
+
+
+def q_dup_rate_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-rate report (A4 counts/stats analog at corpus grain): per
+    language, total docs, distinct token-set classes, and the duplicate
+    fraction in permille — the per-slice number a corpus curator reads
+    before deciding where dedup effort goes."""
+    docs = load_table(spark, sf_dir, "documents")
+    set_hash = F.sha2(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(_words()))), 256
+    )
+    d = docs.select("lang", set_hash.alias("set_hash"))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("set_hash").alias("n_distinct"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_distinct",
+            F.floor((F.col("n_docs") - F.col("n_distinct")) * 1000 / F.col("n_docs"))
+            .cast("long")
+            .alias("dup_permille"),
+        )
+    )
+
+
+SQL_DUP_RATE_BY_LANG = """
+WITH g AS (
+  SELECT lang,
+         sha256(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' '))
+           AS set_hash
+  FROM documents
+)
+SELECT lang,
+       count(*) AS n_docs,
+       count(DISTINCT set_hash) AS n_distinct,
+       CAST(floor((count(*) - count(DISTINCT set_hash)) * 1000.0 / count(*))
+            AS BIGINT) AS dup_permille
+FROM g GROUP BY lang
+"""
+
+
 def q_lang_file_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 extension-filter analog: per-lang counts after a pushed-down
     predicate (ref: app/Commands.java:74)."""
@@ -2131,6 +2210,8 @@ QUERIES: dict[str, QueryFn] = {
     "train_val_test_split": q_train_val_test_split,
     "stratified_sample": q_stratified_sample,
     "lang_file_counts": q_lang_file_counts,
+    "vocab_top_terms": q_vocab_top_terms,
+    "dup_rate_by_lang": q_dup_rate_by_lang,
     "bpe_token_counts": q_bpe_token_counts,
     # embeddings / similarity search
     "embedding_norms": q_embedding_norms,
@@ -2191,6 +2272,8 @@ ORACLES: dict[str, str] = {
     "train_val_test_split": SQL_TRAIN_VAL_TEST_SPLIT,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "lang_file_counts": SQL_LANG_FILE_COUNTS,
+    "vocab_top_terms": SQL_VOCAB_TOP_TERMS,
+    "dup_rate_by_lang": SQL_DUP_RATE_BY_LANG,
     "bpe_token_counts": SQL_BPE_TOKEN_COUNTS,
     "embedding_norms": SQL_EMBEDDING_NORMS,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
