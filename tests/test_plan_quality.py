@@ -147,3 +147,18 @@ def test_amplified_lsh_has_no_cartesian(spark):
     plan = plan_of(QUERIES["embedding_neardup_lsh_amplified"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_deduped_corpus_is_anti_join_no_cartesian(spark):
+    plan = plan_of(QUERIES["deduped_corpus"](spark, SF_DIR))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_reporting_aggs_have_partial_final_split(spark):
+    """vocab/dup-rate reports must map-side combine (two HashAggregate
+    levels), not ship raw occurrence rows to one reducer."""
+    for q in ("vocab_top_terms", "dup_rate_by_lang"):
+        plan = plan_of(QUERIES[q](spark, SF_DIR))
+        assert plan.count("HashAggregate") >= 2, q
