@@ -202,13 +202,23 @@ FROM h a JOIN h b ON a.h = b.h AND a.doc_id < b.doc_id
 """
 
 
+def _token_set_hash() -> Column:
+    """sha256 of the sorted-distinct token set — the
+    whitespace/reorder-invariant exact-dup class key, defined ONCE so
+    the three Spark consumers (token_set_dup_groups, dedup_keeper_plan,
+    dup_rate_by_lang) and their DuckDB twins
+    (sha256(array_to_string(list_sort(list_distinct(...)), ' ')))
+    cannot silently desynchronize on which docs count as duplicates."""
+    return F.sha2(
+        F.concat_ws(" ", F.array_sort(F.array_distinct(_words()))), 256
+    )
+
+
 def q_token_set_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bag-of-words-set dedup: docs whose distinct token sets are equal
     (whitespace/reorder-invariant exact class)."""
     docs = load_table(spark, sf_dir, "documents")
-    set_hash = F.sha2(
-        F.concat_ws(" ", F.array_sort(F.array_distinct(_words()))), 256
-    )
+    set_hash = _token_set_hash()
     return (
         docs.groupBy(set_hash.alias("set_hash"))
         .agg(F.count("*").alias("n_members"), F.min("doc_id").alias("cluster_id"))
@@ -349,9 +359,7 @@ def q_dedup_keeper_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalent row_number formulation — identical results, different
     physical strategy, which is the point of declaring semantics."""
     docs = load_table(spark, sf_dir, "documents")
-    set_hash = F.sha2(
-        F.concat_ws(" ", F.array_sort(F.array_distinct(_words()))), 256
-    ).alias("set_hash")
+    set_hash = _token_set_hash().alias("set_hash")
     d = docs.select("doc_id", "n_chars", set_hash)
     groups = (
         d.groupBy("set_hash")
@@ -918,9 +926,7 @@ def q_dup_rate_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction in permille — the per-slice number a corpus curator reads
     before deciding where dedup effort goes."""
     docs = load_table(spark, sf_dir, "documents")
-    set_hash = F.sha2(
-        F.concat_ws(" ", F.array_sort(F.array_distinct(_words()))), 256
-    )
+    set_hash = _token_set_hash()
     d = docs.select("lang", set_hash.alias("set_hash"))
     return (
         d.groupBy("lang")
