@@ -396,3 +396,80 @@ def test_incremental_dedup_records_band_cap_stats(spark, tmp_path):
     assert all(r.capped and r.band_size > 4 for r in rows)
     assert {r.side for r in rows} <= {"history", "batch"}
     assert "batch" in {r.side for r in rows}
+
+
+def test_incremental_edges_refresh_clusters_equals_full_recompute(spark, tmp_path):
+    """Lambda-architecture loop closed: batch clusters over corpus v1,
+    stream new docs through incremental_dedup, fold the emitted edges
+    into the old labels with refresh_clusters — memberships must equal
+    clustering the accumulated corpus from scratch."""
+    from imageduplicatefinder_spark.config import DedupConfig
+    from imageduplicatefinder_spark.operators.components import (
+        connected_components,
+        refresh_clusters,
+    )
+    from imageduplicatefinder_spark.operators.lsh import band_table, candidate_pairs
+    from imageduplicatefinder_spark.operators.signatures import compute_signatures
+    from imageduplicatefinder_spark.operators.verify import verify_pairs
+    from imageduplicatefinder_spark.streaming.dedup_stream import incremental_dedup
+
+    cfg = DedupConfig()
+    fam_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    fam_b = "lambda mu nu xi omicron pi rho sigma tau upsilon " * 5
+    schema = "repo string, path string, commit string, lang string, content string"
+    v1_rows = [
+        ("r", "v1/a1.py", "c1", "py", fam_a),
+        ("r", "v1/a2.py", "c2", "py", fam_a + "tiny tail"),
+        ("r", "v1/b1.py", "c3", "py", fam_b),
+        ("r", "v1/solo.py", "c4", "py", "nothing shared with anyone " * 5),
+    ]
+    v1 = spark.createDataFrame(v1_rows, schema)
+    sigs1 = compute_signatures(v1, cfg).localCheckpoint(eager=True)
+
+    def cluster(sigs):
+        cands = candidate_pairs(band_table(sigs, cfg), cfg)
+        edges = verify_pairs(cands, sigs, cfg).filter("verified")
+        return connected_components(edges.select("src", "dst"))
+
+    old_labels = cluster(sigs1)
+
+    t0 = datetime.datetime(2024, 1, 1)
+    v2_rows = [
+        (t0, "r", "v2/a3.py", "c5", "py", fam_a + "another tail"),   # joins A
+        (t0, "r", "v2/b2.py", "c6", "py", fam_b + "small delta"),    # joins B
+        (t0, "r", "v2/new1.py", "c7", "py", "fresh family one " * 10),
+        (t0, "r", "v2/new2.py", "c8", "py", "fresh family one " * 10 + "x"),
+    ]
+    src = spark.createDataFrame(v2_rows, STREAM_SCHEMA)
+    srcdir = str(tmp_path / "lam_src")
+    src.coalesce(1).write.parquet(srcdir)
+    stream = spark.readStream.schema(src.schema).parquet(srcdir)
+    edges_out = str(tmp_path / "lam_edges")
+    q = incremental_dedup(stream, sigs1, cfg, edges_out,
+                          str(tmp_path / "lam_ckpt"))
+    q.awaitTermination(120)
+    new_edges = spark.read.parquet(edges_out).select("src", "dst")
+
+    refreshed = refresh_clusters(old_labels, new_edges)
+
+    # ground truth: full recompute over v1 + v2
+    all_docs = v1.unionByName(
+        spark.createDataFrame([r[1:] for r in v2_rows], schema)
+    )
+    full = cluster(compute_signatures(all_docs, cfg))
+
+    def membership(df):
+        groups = {}
+        for r in df.collect():
+            groups.setdefault(r.cluster_id, set()).add(r.doc_id)
+        return {frozenset(v) for v in groups.values()
+                if len(v) >= 2}  # compare multi-member families
+
+    assert membership(refreshed) == membership(full)
+    # both incremental joiners actually landed in their old families
+    ids = {r.path: r.doc_id for r in compute_signatures(all_docs, cfg)
+           .select("path", "doc_id").collect()}
+    fam = {frozenset(m) for m in membership(refreshed)}
+    assert any({ids["v1/a1.py"], ids["v2/a3.py"]} <= f for f in fam)
+    assert any({ids["v1/b1.py"], ids["v2/b2.py"]} <= f for f in fam)
+    assert any({ids["v2/new1.py"], ids["v2/new2.py"]} <= f for f in fam)
