@@ -920,6 +920,52 @@ LIMIT 50
 """
 
 
+def q_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction, integer-only (no tf-idf logs —
+    float log implementations differ in the last ulp across engines, so
+    the ranking key is (tf DESC, df ASC, term ASC): frequent in the doc,
+    rare in the corpus, fully tie-broken). Top 3 terms per doc via a
+    window over per-doc term counts — the per-group top-k shape with a
+    corpus-level broadcast side (df table is |vocab| rows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select("doc_id", F.explode(_words()).alias("term"))
+    tf = occ.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
+    ranked = tf.join(F.broadcast(df_tbl), on="term").withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(
+                F.desc("tf"), F.asc("df"), F.asc("term")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rank") <= 3).select(
+        "doc_id", "rank", "term", "tf", "df"
+    )
+
+
+SQL_TOP_TERMS_PER_DOC = """
+WITH occ AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM occ GROUP BY doc_id, term
+),
+dfs AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+),
+ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfs.df,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, dfs.df, tf.term) AS rank
+  FROM tf JOIN dfs USING (term)
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, term,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+FROM ranked WHERE rank <= 3
+"""
+
+
 def q_dup_rate_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-rate report (A4 counts/stats analog at corpus grain): per
     language, total docs, distinct token-set classes, and the duplicate
@@ -2217,6 +2263,7 @@ QUERIES: dict[str, QueryFn] = {
     "stratified_sample": q_stratified_sample,
     "lang_file_counts": q_lang_file_counts,
     "vocab_top_terms": q_vocab_top_terms,
+    "top_terms_per_doc": q_top_terms_per_doc,
     "dup_rate_by_lang": q_dup_rate_by_lang,
     "bpe_token_counts": q_bpe_token_counts,
     # embeddings / similarity search
@@ -2279,6 +2326,7 @@ ORACLES: dict[str, str] = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "lang_file_counts": SQL_LANG_FILE_COUNTS,
     "vocab_top_terms": SQL_VOCAB_TOP_TERMS,
+    "top_terms_per_doc": SQL_TOP_TERMS_PER_DOC,
     "dup_rate_by_lang": SQL_DUP_RATE_BY_LANG,
     "bpe_token_counts": SQL_BPE_TOKEN_COUNTS,
     "embedding_norms": SQL_EMBEDDING_NORMS,
