@@ -214,6 +214,17 @@ def _token_set_hash() -> Column:
     )
 
 
+#: the DuckDB twin of _token_set_hash, defined ONCE and interpolated
+#: into every oracle that keys on the token-set dup class (coalesce
+#: mirrors Spark: concat_ws over a NULL array is '' -> sha of '',
+#: where a bare sha256(NULL) would be NULL and vanish from
+#: count(DISTINCT), silently skewing dup rates on NULL-text rows)
+_SQL_TOKEN_SET_HASH = (
+    "sha256(coalesce(array_to_string(list_sort(list_distinct("
+    "string_split(text, ' '))), ' '), ''))"
+)
+
+
 def q_token_set_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bag-of-words-set dedup: docs whose distinct token sets are equal
     (whitespace/reorder-invariant exact class)."""
@@ -226,8 +237,8 @@ def q_token_set_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_TOKEN_SET_DUP_GROUPS = """
-SELECT sha256(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+SQL_TOKEN_SET_DUP_GROUPS = f"""
+SELECT {_SQL_TOKEN_SET_HASH}
          AS set_hash,
        count(*) AS n_members, min(doc_id) AS cluster_id
 FROM documents GROUP BY 1 HAVING count(*) >= 2
@@ -382,10 +393,10 @@ def q_dedup_keeper_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_DEDUP_KEEPER_PLAN = """
+SQL_DEDUP_KEEPER_PLAN = f"""
 WITH g AS (
   SELECT doc_id, n_chars,
-         sha256(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' '))
+         {_SQL_TOKEN_SET_HASH}
            AS set_hash
   FROM documents
 ), sized AS (
@@ -418,10 +429,10 @@ def q_deduped_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_DEDUPED_CORPUS = """
+SQL_DEDUPED_CORPUS = f"""
 WITH g AS (
   SELECT doc_id, n_chars,
-         sha256(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' '))
+         {_SQL_TOKEN_SET_HASH}
            AS set_hash
   FROM documents
 ), sized AS (
@@ -931,7 +942,10 @@ def q_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     occ = docs.select("doc_id", F.explode(_words()).alias("term"))
     tf = occ.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
-    ranked = tf.join(F.broadcast(df_tbl), on="term").withColumn(
+    # no broadcast hint: the df table is |vocabulary| rows — unbounded at
+    # corpus scale (10^8+ terms on a web corpus would OOM a forced
+    # broadcast); AQE auto-broadcasts it whenever it is actually small
+    ranked = tf.join(df_tbl, on="term").withColumn(
         "rank",
         F.row_number().over(
             Window.partitionBy("doc_id").orderBy(
@@ -991,10 +1005,10 @@ def q_dup_rate_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_DUP_RATE_BY_LANG = """
+SQL_DUP_RATE_BY_LANG = f"""
 WITH g AS (
   SELECT lang,
-         sha256(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' '))
+         {_SQL_TOKEN_SET_HASH}
            AS set_hash
   FROM documents
 )
@@ -1897,10 +1911,10 @@ def q_quarantine_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_QUARANTINE_PLAN = """
+SQL_QUARANTINE_PLAN = f"""
 WITH g AS (
   SELECT doc_id, n_chars,
-         sha256(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' '))
+         {_SQL_TOKEN_SET_HASH}
            AS set_hash
   FROM documents
 ), sized AS (

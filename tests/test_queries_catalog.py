@@ -96,3 +96,28 @@ def test_repetition_stats_single_word_and_empty_docs(spark, tmp_path):
     assert got[1] == (1000, 0)   # one word = 100% share, no bigrams
     assert got[2] == (1000, 0)   # split('') -> [''] single token
     assert got[3] == (500, 1000)
+
+
+def test_dup_rate_null_text_counts_as_empty_class_cross_engine(spark, tmp_path):
+    """NULL text must count as the empty token-set class in BOTH engines
+    (bare sha256(NULL) is NULL in DuckDB and vanishes from
+    count(DISTINCT); the shared SQL fragment coalesces to '' to mirror
+    Spark's concat_ws semantics)."""
+    import duckdb
+
+    from imageduplicatefinder_spark.queries import ORACLES, QUERIES
+
+    spark.createDataFrame(
+        [(1, None, "en", 0), (2, "hello world", "en", 11),
+         (3, "hello world", "en", 11)],
+        "doc_id long, text string, lang string, n_chars long",
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    s = {(r.lang, r.n_docs, r.n_distinct, r.dup_permille)
+         for r in QUERIES["dup_rate_by_lang"](spark, str(tmp_path)).collect()}
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    o = {tuple(r) for r in con.sql(ORACLES["dup_rate_by_lang"]).fetchall()}
+    assert s == o == {("en", 3, 2, 333)}
