@@ -299,6 +299,74 @@ WHERE floor(inter * 1000.0 / least(sa.n, sb.n)) >= 900
 """
 
 
+def q_char_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-5-gram Jaccard pairs (>= 0.7) — the cross-engine pin
+    for the ``tokenizer="char"`` dispatch branch (DedupConfig H4:
+    char shingles suit source-code payloads where word boundaries are
+    noisy). Same exact-join shape as the word-trigram oracle query;
+    the scale path is the identical MinHash/LSH machinery with
+    ``DedupConfig(tokenizer="char")``. Docs shorter than 5 chars
+    collapse to one truncated gram in both engines; NULL text drops."""
+    docs = load_table(spark, sf_dir, "documents")
+    k = 5
+    n = F.length("text")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+            lambda i: F.col("text").substr(i, F.lit(k)),
+        )
+    )
+    g = docs.select("doc_id", F.explode(grams).alias("gram"))
+    sizes = g.groupBy("doc_id").agg(F.count("*").alias("n"))
+    pairs = (
+        g.alias("a")
+        .join(g.alias("b"), on="gram")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    withs = (
+        pairs.join(sizes.select(F.col("doc_id").alias("doc_a"),
+                                F.col("n").alias("na")), on="doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("n").alias("nb")), on="doc_b")
+    )
+    jac = F.floor(
+        F.col("inter") * 1000 / (F.col("na") + F.col("nb") - F.col("inter"))
+    ).cast("long")
+    return (
+        withs.withColumn("jaccard_milli", jac)
+        .filter(F.col("jaccard_milli") >= 700)
+        .select("doc_a", "doc_b", "jaccard_milli")
+    )
+
+
+SQL_CHAR_NGRAM_JACCARD_PAIRS = """
+WITH g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, greatest(length(text) - 4, 1)),
+           i -> substr(text, i, 5)))) AS gram
+  FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+pair_inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       CAST(floor(inter * 1000.0 / (sa.n + sb.n - inter)) AS BIGINT)
+         AS jaccard_milli
+FROM pair_inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE floor(inter * 1000.0 / (sa.n + sb.n - inter)) >= 700
+"""
+
+
 def q_containment_confirmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 exact confirmation pass, oracle-pinned: the shingle-level
     containment candidates (>= 0.9) re-checked by literal substring
@@ -2259,6 +2327,7 @@ QUERIES: dict[str, QueryFn] = {
     "token_set_dup_groups": q_token_set_dup_groups,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "ngram_containment_pairs": q_ngram_containment_pairs,
+    "char_ngram_jaccard_pairs": q_char_ngram_jaccard_pairs,
     "containment_confirmed": q_containment_confirmed,
     "dedup_keeper_plan": q_dedup_keeper_plan,
     "deduped_corpus": q_deduped_corpus,
@@ -2320,6 +2389,7 @@ ORACLES: dict[str, str] = {
     "token_set_dup_groups": SQL_TOKEN_SET_DUP_GROUPS,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "ngram_containment_pairs": SQL_NGRAM_CONTAINMENT_PAIRS,
+    "char_ngram_jaccard_pairs": SQL_CHAR_NGRAM_JACCARD_PAIRS,
     "containment_confirmed": SQL_CONTAINMENT_CONFIRMED,
     "dedup_keeper_plan": SQL_DEDUP_KEEPER_PLAN,
     "deduped_corpus": SQL_DEDUPED_CORPUS,
