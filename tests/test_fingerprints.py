@@ -213,3 +213,36 @@ def test_portable_gradsign_matches_pure_python(spark):
         if samples[j + 1] > samples[j]:
             expect += -(1 << 63) if j == 0 else (1 << (63 - j))
     assert got == expect
+
+
+def test_char_tokenizer_branch(spark):
+    """tokenizer='char' (H4 dispatch, the source-code payload mode):
+    whitespace-collapsed lowercased characters, and the full pipeline
+    clusters a whitespace-variant pair under it."""
+    import pandas as pd
+
+    from imageduplicatefinder_spark.functions.fingerprints import tokenize_series
+
+    toks = tokenize_series(pd.Series(["Ab  C", None, ""]), "char")
+    assert toks.iloc[0] == ["a", "b", " ", "c"]
+    assert toks.iloc[1] == [] and toks.iloc[2] == []
+
+
+def test_pipeline_char_tokenizer_end_to_end(spark, tmp_path):
+    import tempfile
+
+    from imageduplicatefinder_spark.config import DedupConfig
+    from imageduplicatefinder_spark.plans.pipeline import DedupPipeline
+
+    body = "def f(x): return x + 1  # compute " * 8
+    docs = spark.createDataFrame(
+        [("r", "a.py", "c1", "py", body),
+         ("r", "b.py", "c2", "py", body.replace("  ", " ") + " "),  # ws variant
+         ("r", "c.py", "c3", "py", "while True: completely_other_tokens() " * 8)],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    cfg = DedupConfig(tokenizer="char", shingle_k=5)
+    res = DedupPipeline(spark, cfg, checkpoint_dir=tempfile.mkdtemp()).run(docs)
+    plan = {r.path: r.action for r in res.plan.collect()}
+    assert set(plan) == {"a.py", "b.py"}      # ws-variant pair clusters
+    assert sorted(plan.values()) == ["DELETE", "KEEP"]
