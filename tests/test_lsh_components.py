@@ -327,3 +327,24 @@ def test_refresh_clusters_merges_and_extends(spark):
           for r in refresh_clusters(old, new_edges,
                                     algorithm="labelprop").collect()}
     assert lp == got
+
+
+def test_use_simhash_verify_flag_activates_hamming_clause(spark):
+    """Reference-parity verify rule (BKTreeIndex.java:42-43): with the
+    flag on, a pair inside the Hamming radius verifies even when its
+    Jaccard/containment fail; with the flag off it does not."""
+    from imageduplicatefinder_spark.config import DedupConfig
+    from imageduplicatefinder_spark.operators.verify import verify_pairs
+
+    # disjoint shingle sets (jaccard 0) but sketches 3 bits apart
+    sigs = spark.createDataFrame(
+        [(1, 0b111, [10, 11, 12]), (2, 0b000, [20, 21, 22])],
+        "doc_id long, simhash long, shingles array<long>",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "src long, dst long")
+    off = verify_pairs(pairs, sigs, DedupConfig()).collect()[0]
+    assert off.hamming == 3 and not off.verified
+    on = verify_pairs(
+        pairs, sigs, DedupConfig(use_simhash_verify=True)
+    ).collect()[0]
+    assert on.verified  # hamming 3 <= radius 10 satisfies the ref rule
