@@ -205,3 +205,37 @@ def test_pipeline_star_cc_produces_identical_plan(spark, tmp_path):
     lp = {(r.cluster_id, r.path, r.action) for r in res_lp.plan.collect()}
     star = {(r.cluster_id, r.path, r.action) for r in res_star.plan.collect()}
     assert lp == star and len(lp) > 0
+
+
+def test_radius_from_threshold_matches_reference_formula():
+    """Web-path conversion (ref: app/Commands.java:406-410):
+    radius = round((1 - t) * 64)."""
+    from imageduplicatefinder_spark.config import DedupConfig
+
+    assert DedupConfig.radius_from_threshold(1.0) == 0
+    assert DedupConfig.radius_from_threshold(0.84375) == 10  # CLI default
+    assert DedupConfig.radius_from_threshold(0.5) == 32
+    assert DedupConfig.radius_from_threshold(0.0) == 64
+
+
+def test_pipeline_langs_filter_restricts_corpus(spark, tmp_path):
+    """The pushed-down extension-filter analog on the pipeline entry
+    (ref: app/Commands.java:74): only matching langs are processed."""
+    import tempfile
+
+    from imageduplicatefinder_spark.config import DedupConfig
+    from imageduplicatefinder_spark.plans.pipeline import DedupPipeline
+
+    body = "alpha beta gamma delta epsilon " * 10
+    docs = spark.createDataFrame(
+        [("r", "a.py", "c1", "py", body),
+         ("r", "b.py", "c2", "py", body + "tail"),
+         ("r", "c.go", "c3", "go", body),
+         ("r", "d.go", "c4", "go", body + "tail")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    res = DedupPipeline(
+        spark, DedupConfig(), checkpoint_dir=tempfile.mkdtemp()
+    ).run(docs, langs=["py"])
+    paths = {r.path for r in res.plan.collect()}
+    assert paths == {"a.py", "b.py"}  # go docs never enter the pipeline
