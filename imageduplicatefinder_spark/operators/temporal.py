@@ -28,9 +28,17 @@ no such limit (cells bound the group size via the time dimension).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+
+def _epoch_us(col: Column) -> Column:
+    """Integer epoch-microseconds of a timestamp column. ``unix_micros``
+    only accepts TIMESTAMP (with zone); parquet tables here carry
+    TIMESTAMP_NTZ, so cast first — exact under the engine's pinned UTC
+    session timezone (session.py), where NTZ wall time == UTC instant."""
+    return F.unix_micros(col.cast("timestamp"))
 
 
 def asof_join(
@@ -57,6 +65,16 @@ def asof_join(
         quote_cols = [c for c in quote.columns if c not in (on, ts_col)]
     if tiebreak_cols is None:
         tiebreak_cols = quote_cols
+    # the union/window machinery reserves these working names; a probe
+    # column with the same name would be silently clobbered (e.g. a
+    # user `_side` column becomes the constant 1 in every output row)
+    reserved = {"_side", "_q", "_qord", "_qrow"}
+    clash = reserved.intersection(probe.columns)
+    if clash:
+        raise ValueError(
+            f"probe columns {sorted(clash)} collide with asof_join's "
+            "reserved working columns; rename them before joining"
+        )
     # SQL ASOF semantics for nulls: a NULL-ts quote satisfies no
     # ``probe.ts >= quote.ts`` predicate and a NULL key matches no key —
     # drop them up front (the window would otherwise sort a NULL-ts
@@ -127,18 +145,25 @@ def range_join_bucketed(
 
     Output: every column of ``left`` plus right's columns prefixed
     ``r_`` (``r_<right_ts>`` is the matched timestamp).
+
+    The range predicate is evaluated at FULL microsecond precision
+    (Spark timestamps are epoch-micros internally): whole-second
+    flooring would admit a right row up to 1s BEFORE the left row and
+    drop in-window rows near the upper bound. Integer micros keep the
+    cell ids and the residual filter exact.
     """
-    cell_l = F.floor(F.unix_timestamp(F.col(left_ts)) / window_seconds)
+    window_us = int(window_seconds) * 1_000_000
+    cell_l = F.floor(_epoch_us(F.col(left_ts)) / window_us)
     lt = left.withColumn(
         "_cell", F.explode(F.array(cell_l, cell_l + 1))
     )
     rcols = [F.col(c).alias(f"r_{c}") for c in right.columns if c != on]
     rt = right.select(on, *rcols).withColumn(
-        "_cell", F.floor(F.unix_timestamp(F.col(f"r_{right_ts}")) / window_seconds)
+        "_cell", F.floor(_epoch_us(F.col(f"r_{right_ts}")) / window_us)
     )
-    lo = F.unix_timestamp(F.col(left_ts))
-    hi = lo + window_seconds
-    r_epoch = F.unix_timestamp(F.col(f"r_{right_ts}"))
+    lo = _epoch_us(F.col(left_ts))
+    hi = lo + window_us
+    r_epoch = _epoch_us(F.col(f"r_{right_ts}"))
     return (
         lt.join(rt, on=[on, "_cell"])
         .filter((r_epoch >= lo) & (r_epoch < hi))

@@ -1721,25 +1721,27 @@ def q_range_purchase_followups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("r_event_id").alias("event_id"),
         F.col("r_event_type").alias("event_type"),
-        (F.unix_timestamp("r_ts") - F.unix_timestamp("ts")).alias("lag_s"),
+        (
+            F.unix_micros(F.col("r_ts").cast("timestamp"))
+            - F.unix_micros(F.col("ts").cast("timestamp"))
+        ).alias("lag_us"),
     )
 
 
-# the operator is defined over WHOLE-SECOND epochs (Spark's
-# unix_timestamp floors fractional seconds); the oracle applies the
-# same flooring in the range predicate so boundaries agree exactly
+# the operator evaluates the range at full microsecond precision
+# (timestamps in the events table carry sub-second components); the
+# oracle uses the same integer-micros epoch so boundaries agree exactly
 SQL_RANGE_PURCHASE_FOLLOWUPS = """
 WITH fe AS (
-  SELECT event_id, user_id, event_type,
-         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
   FROM events
 )
 SELECT p.event_id AS purchase_id, p.user_id,
        e.event_id, e.event_type,
-       e.ts_s - p.ts_s AS lag_s
+       e.ts_us - p.ts_us AS lag_us
 FROM fe p JOIN fe e
   ON p.user_id = e.user_id
- AND e.ts_s >= p.ts_s AND e.ts_s < p.ts_s + 3600
+ AND e.ts_us >= p.ts_us AND e.ts_us < p.ts_us + 3600000000
 WHERE p.event_type = 'purchase'
 """
 

@@ -106,6 +106,45 @@ def test_range_join_crosses_cell_boundary(spark):
     assert got == {30, 31}
 
 
+def test_range_join_subsecond_exact(spark):
+    """The range predicate holds at microsecond precision: a right row
+    0.5s BEFORE the left row is excluded (whole-second flooring would
+    admit it), and a right row 0.5s inside the upper bound is included
+    (flooring would push it out)."""
+    us = datetime.timedelta(microseconds=1)
+    left = spark.createDataFrame(
+        [(1, 1, _ts(10) + 700_000 * us)],
+        "lid long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (40, 1, _ts(10) + 200_000 * us),    # 0.5s BEFORE left -> out
+            (41, 1, _ts(10) + 700_000 * us),    # lag 0 -> in
+            (42, 1, _ts(3610) + 699_999 * us),  # 1us inside bound -> in
+            (43, 1, _ts(3610) + 700_000 * us),  # exactly at bound -> out
+        ],
+        "rid long, user_id long, ts timestamp",
+    )
+    got = {
+        r.r_rid
+        for r in range_join_bucketed(left, right, on="user_id",
+                                     window_seconds=3600).collect()
+    }
+    assert got == {41, 42}
+
+
+def test_asof_reserved_probe_column_raises(spark, quote):
+    """A probe column named like a working column must fail loudly —
+    it would otherwise be silently clobbered in the output."""
+    probe = spark.createDataFrame(
+        [(1, 1, _ts(100), 9)],
+        "event_id long, user_id long, ts timestamp, _side long",
+    )
+    with pytest.raises(ValueError, match="_side"):
+        asof_join(probe, quote, on="user_id", ts_col="ts",
+                  quote_cols=["q_id", "v"])
+
+
 def test_asof_matched_quote_row_stays_atomic(spark):
     """A NULL column in the latest quote must come through as NULL —
     not be backfilled from an older quote (the matched row is atomic,
