@@ -7,13 +7,18 @@ pair, is the smaller document literally embedded in the larger one
 suffix-matching stage of SURVEY §2.4 J3 / north_star "suffix-array
 substring matching for containment duplicates".
 
-Implementation note: each pair is checked once, so the optimal
-primitive is a single substring scan (CPython's find() is a tuned
-two-way/Crochemore-Perrin search — building a suffix array per pair
-would cost O(n log n) to answer one O(n+m) question). A suffix
-structure would only pay off for many probes against one host; the
-grouped form below (`containment_verify_grouped`) amortizes repeated
-hosts by grouping candidate pairs per host document.
+Implementation note: each pair is checked once in the flat form, so
+the optimal primitive there is a single substring scan (CPython's
+find() is a tuned two-way/Crochemore-Perrin search — building a
+suffix array per pair would cost O(n log n) to answer one O(n+m)
+question). A suffix structure pays off exactly when many probes hit
+one host; the grouped form (`containment_verify_grouped`) groups
+candidate pairs per host document and, once a host attracts enough
+probes (``use_suffix_array="auto"``), builds the host's suffix array
+ONCE (prefix-doubling, vectorized numpy, O(n log^2 n)) and answers
+each probe by binary search in O(m log n) — the north_star's
+"suffix-array substring matching for containment duplicates" made
+literal, with the crossover to plain find() handled per group.
 
 Runs as applyInPandas over pairs joined with content — Arrow batches
 in, one boolean + offset out.
@@ -45,6 +50,72 @@ _WS_RUN = re.compile(r"[ \t\n\f\r]+")
 
 def _canon(s: str) -> str:
     return _WS_RUN.sub(" ", s).strip(" ")
+
+
+# ---------------------------------------------------------------------------
+# suffix array: prefix-doubling construction + first-occurrence search
+# ---------------------------------------------------------------------------
+
+
+def _suffix_array(s: str):
+    """Suffix array of ``s`` (int64 start offsets, lexicographic order
+    of suffixes). Prefix-doubling with numpy lexsort: O(n log n) work
+    per round, O(log n) rounds, all vectorized — no per-character
+    Python loop (code points come from the utf-32 encoding, whose
+    numeric order IS Python's str comparison order)."""
+    import numpy as np
+
+    n = len(s)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    rank = np.unique(codes, return_inverse=True)[1].astype(np.int64)
+    k = 1
+    while True:
+        second = np.full(n, -1, dtype=np.int64)
+        second[: n - k] = rank[k:]
+        sa = np.lexsort((second, rank))
+        first_sorted = rank[sa]
+        second_sorted = second[sa]
+        changed = np.ones(n, dtype=bool)
+        changed[1:] = (np.diff(first_sorted) != 0) | (np.diff(second_sorted) != 0)
+        new_rank = np.empty(n, dtype=np.int64)
+        new_rank[sa] = np.cumsum(changed) - 1
+        rank = new_rank
+        if rank[sa[-1]] == n - 1:  # all ranks distinct -> fully sorted
+            return sa
+        k *= 2
+
+
+def _sa_find(s: str, sa, p: str) -> int:
+    """First occurrence offset of ``p`` in ``s`` given ``s``'s suffix
+    array (== s.find(p)), -1 if absent. Two binary searches bound the
+    SA range of suffixes starting with ``p`` (O(m log n) comparisons),
+    then the smallest start offset in that range is the first TEXTUAL
+    occurrence."""
+    if not p:
+        return 0
+    n = len(sa)
+    m = len(p)
+    lo, hi = 0, n
+    while lo < hi:
+        mid = (lo + hi) // 2
+        start = sa[mid]
+        if s[start : start + m] < p:
+            lo = mid + 1
+        else:
+            hi = mid
+    lo2, hi2 = lo, n
+    while lo2 < hi2:
+        mid = (lo2 + hi2) // 2
+        start = sa[mid]
+        if s[start : start + m] > p:
+            hi2 = mid
+        else:
+            lo2 = mid + 1
+    if lo == lo2:
+        return -1
+    return int(sa[lo:lo2].min())
 
 
 def containment_verify(pairs: DataFrame, documents: DataFrame) -> DataFrame:
@@ -87,13 +158,25 @@ def containment_verify(pairs: DataFrame, documents: DataFrame) -> DataFrame:
     return joined.mapInPandas(check, CONTAINMENT_SCHEMA)
 
 
-def containment_verify_grouped(pairs: DataFrame, documents: DataFrame) -> DataFrame:
+def containment_verify_grouped(
+    pairs: DataFrame,
+    documents: DataFrame,
+    use_suffix_array: bool | str = "auto",
+    sa_min_probes: int = 8,
+) -> DataFrame:
     """Grouped form: candidate pairs grouped per larger-side document
     (the HOST — not per dst, which is merely the greater doc_id) so one
     host's content is deserialized and canonicalized once per group
     instead of once per pair (matters when a popular host — a vendored
     library, a big generated file — attracts thousands of candidates,
     regardless of whether its doc_id sorts first or last in the pair).
+
+    ``use_suffix_array``: True forces suffix-array probing, False
+    forces find(), "auto" (default) builds the host's suffix array only
+    when the group carries >= ``sa_min_probes`` candidate pairs — the
+    regime where the O(n log^2 n) one-time build amortizes to cheaper
+    than ``probes * O(n)`` scans. Results are bit-identical either way
+    (property-tested); only the probe primitive changes.
 
     Same output schema as containment_verify.
     """
@@ -122,17 +205,33 @@ def containment_verify_grouped(pairs: DataFrame, documents: DataFrame) -> DataFr
         first = pdf.iloc[0]
         host = (first["content_dst"] if first["dst"] == first["host_id"]
                 else first["content_src"]) or ""
+        with_sa = use_suffix_array is True or (
+            use_suffix_array == "auto" and len(pdf) >= sa_min_probes
+        )
+        host_sa = _suffix_array(host) if (with_sa and host) else None
         host_canon = None
+        host_canon_sa = None
         for src, dst, ca, cb in zip(
             pdf["src"], pdf["dst"], pdf["content_src"], pdf["content_dst"]
         ):
             small = (ca if dst == first["host_id"] else cb) or ""
-            off = host.find(small) if small else 0
+            if not small:
+                off = 0
+            elif host_sa is not None:
+                off = _sa_find(host, host_sa, small)
+            else:
+                off = host.find(small)
             canon_hit = off >= 0
             if not canon_hit:
                 if host_canon is None:
                     host_canon = _canon(host)
-                canon_hit = _canon(small) in host_canon
+                    if with_sa and host_canon:
+                        host_canon_sa = _suffix_array(host_canon)
+                small_c = _canon(small)
+                if host_canon_sa is not None:
+                    canon_hit = _sa_find(host_canon, host_canon_sa, small_c) >= 0
+                else:
+                    canon_hit = small_c in host_canon
             out["src"].append(src)
             out["dst"].append(dst)
             out["contained"].append(off >= 0)

@@ -39,22 +39,24 @@ def _words(col: str = "text") -> Column:
     return F.split(F.col(col), " ")
 
 
-def _grams_expr(w: Column) -> Column:
-    """ORDERED word-3-gram strings; docs shorter than 3 words collapse
-    to one padded gram (matches the DuckDB CTE below exactly). The one
-    Spark-side gram builder — _shingles_expr and the winnowing query
-    both derive from it, so the cross-engine string construction cannot
-    silently desynchronize between call sites."""
+def _ngrams_expr(w: Column, n: int) -> Column:
+    """ORDERED word-n-gram strings; docs shorter than n words collapse
+    to one padded gram (missing positions coalesce to '' — matches the
+    DuckDB CTEs exactly, including short-doc padding)."""
     return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(w) - F.lit(2), F.lit(1))),
-        lambda i: F.concat(
-            F.coalesce(F.get(w, i - 1), F.lit("")),
-            F.lit(" "),
-            F.coalesce(F.get(w, i), F.lit("")),
-            F.lit(" "),
-            F.coalesce(F.get(w, i + 1), F.lit("")),
+        F.sequence(F.lit(1), F.greatest(F.size(w) - F.lit(n - 1), F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", *[F.coalesce(F.get(w, i + j - 1), F.lit("")) for j in range(n)]
         ),
     )
+
+
+def _grams_expr(w: Column) -> Column:
+    """ORDERED word-3-gram strings (the one Spark-side gram builder —
+    _shingles_expr and the winnowing query both derive from it, so the
+    cross-engine string construction cannot silently desynchronize
+    between call sites)."""
+    return _ngrams_expr(w, 3)
 
 
 def _shingles_expr(w: Column) -> Column:
@@ -426,6 +428,95 @@ SELECT src, dst,
          AS contained_canonical,
        CAST(off AS BIGINT) AS "offset"
 FROM k
+"""
+
+
+def q_containment_confirmed_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same J3 exact confirmation, probed through the SUFFIX-ARRAY
+    primitive (north_star "suffix-array substring matching" literal):
+    pairs grouped per host document, the host's suffix array built once
+    (prefix-doubling numpy, operators/containment.py:_suffix_array) and
+    each candidate answered by O(m log n) binary search. Shares
+    q_containment_confirmed's oracle — the probe primitive must not
+    change a single bit of the result."""
+    from imageduplicatefinder_spark.operators.containment import (
+        containment_verify_grouped,
+    )
+
+    pairs = q_ngram_containment_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    return containment_verify_grouped(pairs, docs, use_suffix_array=True)
+
+
+_COVERAGE_N = 13  # GPT-3 appendix-A decontamination gram length
+
+
+def q_duplicate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-3-style 13-gram overlap signal: for each document, the share
+    of its distinct word-13-grams that occur in at least one OTHER
+    document — the standard training-set decontamination / fuzzy-dup
+    statistic (a doc with high coverage is mostly boilerplate or a
+    near-copy). Distributed shape: explode distinct 13-grams, shuffle
+    on the gram's md5 (narrow fixed-width key instead of the 13-word
+    string), document-frequency count, broadcast-free re-join, per-doc
+    aggregate. Permille floored to keep the value integral
+    cross-engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = _words()
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(_ngrams_expr(w, _COVERAGE_N))).alias("g"),
+    ).select("doc_id", F.md5("g").alias("gh"))
+    df_tab = grams.groupBy("gh").agg(F.count("*").alias("df"))
+    return (
+        grams.join(df_tab, on="gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("shared_grams"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "shared_grams",
+            F.floor(F.col("shared_grams") * 1000 / F.col("n_grams"))
+            .cast("long")
+            .alias("coverage_permille"),
+        )
+    )
+
+
+SQL_DUPLICATE_NGRAM_COVERAGE = f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, md5(unnest(list_distinct(list_transform(
+    generate_series(1, greatest(len(w) - {_COVERAGE_N - 1}, 1)),
+    i -> {" || ' ' || ".join(f"coalesce(w[i+{j}], '')" for j in range(_COVERAGE_N))}
+  )))) AS gh
+  FROM words
+),
+df AS (
+  SELECT gh, count(*) AS df FROM grams GROUP BY gh
+),
+per_doc AS (
+  SELECT g.doc_id,
+         count(*) AS n_grams,
+         sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS shared_grams
+  FROM grams g JOIN df ON g.gh = df.gh
+  GROUP BY g.doc_id
+)
+SELECT doc_id,
+       CAST(n_grams AS BIGINT) AS n_grams,
+       CAST(shared_grams AS BIGINT) AS shared_grams,
+       CAST(floor(shared_grams * 1000.0 / n_grams) AS BIGINT)
+         AS coverage_permille
+FROM per_doc
 """
 
 
@@ -2331,6 +2422,7 @@ QUERIES: dict[str, QueryFn] = {
     "ngram_containment_pairs": q_ngram_containment_pairs,
     "char_ngram_jaccard_pairs": q_char_ngram_jaccard_pairs,
     "containment_confirmed": q_containment_confirmed,
+    "containment_confirmed_sa": q_containment_confirmed_sa,
     "dedup_keeper_plan": q_dedup_keeper_plan,
     "deduped_corpus": q_deduped_corpus,
     "quarantine_plan": q_quarantine_plan,
@@ -2350,6 +2442,7 @@ QUERIES: dict[str, QueryFn] = {
     "vocab_top_terms": q_vocab_top_terms,
     "top_terms_per_doc": q_top_terms_per_doc,
     "dup_rate_by_lang": q_dup_rate_by_lang,
+    "duplicate_ngram_coverage": q_duplicate_ngram_coverage,
     "bpe_token_counts": q_bpe_token_counts,
     # embeddings / similarity search
     "embedding_norms": q_embedding_norms,
@@ -2393,6 +2486,7 @@ ORACLES: dict[str, str] = {
     "ngram_containment_pairs": SQL_NGRAM_CONTAINMENT_PAIRS,
     "char_ngram_jaccard_pairs": SQL_CHAR_NGRAM_JACCARD_PAIRS,
     "containment_confirmed": SQL_CONTAINMENT_CONFIRMED,
+    "containment_confirmed_sa": SQL_CONTAINMENT_CONFIRMED,
     "dedup_keeper_plan": SQL_DEDUP_KEEPER_PLAN,
     "deduped_corpus": SQL_DEDUPED_CORPUS,
     "quarantine_plan": SQL_QUARANTINE_PLAN,
@@ -2414,6 +2508,7 @@ ORACLES: dict[str, str] = {
     "vocab_top_terms": SQL_VOCAB_TOP_TERMS,
     "top_terms_per_doc": SQL_TOP_TERMS_PER_DOC,
     "dup_rate_by_lang": SQL_DUP_RATE_BY_LANG,
+    "duplicate_ngram_coverage": SQL_DUPLICATE_NGRAM_COVERAGE,
     "bpe_token_counts": SQL_BPE_TOKEN_COUNTS,
     "embedding_norms": SQL_EMBEDDING_NORMS,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,

@@ -106,6 +106,66 @@ def test_containment_null_content_treated_as_empty(spark):
     assert g.contained and g.offset == 0
 
 
+def test_suffix_array_matches_sorted_suffixes_and_find():
+    """_suffix_array == naive sorted-suffix order; _sa_find == str.find
+    for present and absent patterns (including empty and repeated-hit
+    patterns, where first TEXTUAL occurrence != first SA entry)."""
+    import random
+
+    from imageduplicatefinder_spark.operators.containment import (
+        _sa_find,
+        _suffix_array,
+    )
+
+    rng = random.Random(42)
+    for _ in range(120):
+        s = "".join(rng.choice("abAB \t\nxyz") for _ in range(rng.randint(0, 50)))
+        sa = _suffix_array(s)
+        assert list(sa) == sorted(range(len(s)), key=lambda i: s[i:])
+        for _ in range(6):
+            if s and rng.random() < 0.7:
+                i = rng.randrange(len(s))
+                p = s[i : rng.randint(i, len(s))]
+            else:
+                p = "".join(rng.choice("abq") for _ in range(rng.randint(0, 4)))
+            assert _sa_find(s, sa, p) == s.find(p), (s, p)
+    s = "ab" * 500  # 499 overlapping hits of "ba": first offset must win
+    sa = _suffix_array(s)
+    assert _sa_find(s, sa, "ba") == 1
+    assert _sa_find(s, sa, "") == 0
+    assert _sa_find(s, sa, "ac") == -1
+
+
+def test_containment_grouped_suffix_array_matches_find(spark):
+    """Forcing the suffix-array probe primitive must be bit-identical
+    to the find() path on exact, canonical-only, and miss pairs."""
+    from imageduplicatefinder_spark.operators.containment import (
+        containment_verify_grouped,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta"),
+            (2, "X alpha beta Y alpha beta Z"),   # two hits: offset = first
+            (3, "alpha  \t beta"),                # canonical-only
+            (4, "nothing shared"),
+            (5, "Z X alpha beta Y W"),
+        ],
+        "doc_id long, content string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 2), (4, 2), (2, 5), (2, 3), (2, 4)], "src long, dst long"
+    )
+    plain = {(r.src, r.dst): (r.contained, r.contained_canonical, r.offset)
+             for r in containment_verify_grouped(
+                 pairs, docs, use_suffix_array=False).collect()}
+    sa = {(r.src, r.dst): (r.contained, r.contained_canonical, r.offset)
+          for r in containment_verify_grouped(
+              pairs, docs, use_suffix_array=True).collect()}
+    assert plain == sa
+    assert sa[(1, 2)] == (True, True, 2)
+
+
 def test_canon_is_explicit_ascii_whitespace_only(spark):
     """_canon collapses exactly [ \\t\\n\\f\\r] (the oracle's regex
     class); \\x0b and Unicode spaces are NOT whitespace here, unlike
