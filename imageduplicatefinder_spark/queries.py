@@ -520,6 +520,112 @@ FROM per_doc
 """
 
 
+_CHUNK_W = 32  # words per sub-document chunk
+
+
+def q_chunk_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (paragraph-analog) dedup: split every document into
+    fixed 32-word chunks, keep only the globally FIRST occurrence of
+    each distinct chunk (first = smallest (doc_id, chunk_idx) — a
+    deterministic stand-in for ingestion order), and re-assemble each
+    document from its surviving chunks — the RefinedWeb/CCNet
+    line-dedup idea at chunk granularity, which exact/minhash doc-level
+    dedup cannot express (it removes REPEATED BOILERPLATE from
+    otherwise-unique documents).
+
+    Scale shape: posexplode chunks, shuffle once on the chunk md5 to
+    pick the winner via partial-aggregating min(struct) (no window over
+    a viral chunk's occurrence list), join winners back, rebuild text
+    with a per-doc collect_list bounded by the document's own size."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = _words()
+    n_chunks = F.greatest(
+        F.ceil(F.size(w) / F.lit(_CHUNK_W)).cast("int"), F.lit(1)
+    )
+    # chunk_idx (the position within the doc) comes from posexplode
+    chunks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), n_chunks),
+                lambda i: F.concat_ws(
+                    " ", F.slice(w, (i - F.lit(1)) * _CHUNK_W + F.lit(1), _CHUNK_W)
+                ),
+            )
+        ).alias("chunk_idx", "chunk"),
+    ).select("doc_id", "chunk_idx", "chunk", F.md5("chunk").alias("h"))
+    winners = chunks.groupBy("h").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("win")
+    )
+    kept = chunks.join(winners, on="h").filter(
+        (F.col("doc_id") == F.col("win.doc_id"))
+        & (F.col("chunk_idx") == F.col("win.chunk_idx"))
+    )
+    per_doc = chunks.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
+    rebuilt = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("kept_chunks"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+            ).alias("cleaned_text"),
+        )
+    )
+    return (
+        per_doc.join(rebuilt, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.coalesce("kept_chunks", F.lit(0)).cast("long").alias("kept_chunks"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+    )
+
+
+SQL_CHUNK_DEDUP_CORPUS = f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         unnest(generate_series(1,
+             greatest(CAST(ceil(len(w) / {_CHUNK_W}.0) AS INT), 1))) AS chunk_idx,
+         w
+  FROM words
+),
+hashed AS (
+  SELECT doc_id, chunk_idx,
+         array_to_string(
+           list_slice(w, (chunk_idx - 1) * {_CHUNK_W} + 1,
+                      chunk_idx * {_CHUNK_W}), ' ') AS chunk
+  FROM chunks
+),
+ranked AS (
+  SELECT doc_id, chunk_idx, chunk,
+         row_number() OVER (PARTITION BY md5(chunk)
+                            ORDER BY doc_id, chunk_idx) AS rn
+  FROM hashed
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_chunks FROM hashed GROUP BY doc_id
+),
+rebuilt AS (
+  SELECT doc_id, count(*) AS kept_chunks,
+         string_agg(chunk, ' ' ORDER BY chunk_idx) AS cleaned_text
+  FROM ranked WHERE rn = 1 GROUP BY doc_id
+)
+SELECT p.doc_id,
+       CAST(p.n_chunks AS BIGINT) AS n_chunks,
+       CAST(coalesce(r.kept_chunks, 0) AS BIGINT) AS kept_chunks,
+       coalesce(r.cleaned_text, '') AS cleaned_text
+FROM per_doc p LEFT JOIN rebuilt r ON p.doc_id = r.doc_id
+"""
+
+
 def q_dedup_keeper_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 keeper selection over token-set dup groups: biggest doc KEEPs
     (ref tiebreak order, src/main/java/app/Commands.java:212-233).
@@ -2443,6 +2549,7 @@ QUERIES: dict[str, QueryFn] = {
     "top_terms_per_doc": q_top_terms_per_doc,
     "dup_rate_by_lang": q_dup_rate_by_lang,
     "duplicate_ngram_coverage": q_duplicate_ngram_coverage,
+    "chunk_dedup_corpus": q_chunk_dedup_corpus,
     "bpe_token_counts": q_bpe_token_counts,
     # embeddings / similarity search
     "embedding_norms": q_embedding_norms,
@@ -2509,6 +2616,7 @@ ORACLES: dict[str, str] = {
     "top_terms_per_doc": SQL_TOP_TERMS_PER_DOC,
     "dup_rate_by_lang": SQL_DUP_RATE_BY_LANG,
     "duplicate_ngram_coverage": SQL_DUPLICATE_NGRAM_COVERAGE,
+    "chunk_dedup_corpus": SQL_CHUNK_DEDUP_CORPUS,
     "bpe_token_counts": SQL_BPE_TOKEN_COUNTS,
     "embedding_norms": SQL_EMBEDDING_NORMS,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
