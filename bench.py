@@ -98,6 +98,8 @@ def main() -> None:
         "embedding_near_dup_pairs",
         "simhash_hamming_pairs",
         "near_dup_clusters_exact",
+        "duplicate_ngram_coverage",
+        "chunk_dedup_corpus",
     ):
         timed(q, lambda q=q: QUERIES[q](spark, sf_dir).count())
 

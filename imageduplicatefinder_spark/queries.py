@@ -42,13 +42,30 @@ def _words(col: str = "text") -> Column:
 def _ngrams_expr(w: Column, n: int) -> Column:
     """ORDERED word-n-gram strings; docs shorter than n words collapse
     to one padded gram (missing positions coalesce to '' — matches the
-    DuckDB CTEs exactly, including short-doc padding)."""
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(w) - F.lit(n - 1), F.lit(1))),
-        lambda i: F.concat_ws(
-            " ", *[F.coalesce(F.get(w, i + j - 1), F.lit("")) for j in range(n)]
-        ),
+    DuckDB CTEs exactly, including the padded gram's trailing spaces).
+
+    PERFORMANCE-CRITICAL SHAPE: the common path is ONE slice(w, i, n)
+    per gram position, not n get(w, ...) calls — Catalyst does not
+    common-subexpression-eliminate inside higher-order-function
+    lambdas, so with an inline ``split()`` argument the n-get form
+    re-evaluated the split n times per position IN INTERPRETED MODE
+    (measured 252 s for the 13-gram build at sf0.1 vs 2.3 s for this
+    form). Callers must STILL pass ``w`` as a materialized column
+    (``.select(_words().alias("w"))``), which is the other half of the
+    same fix. The short-doc padded branch keeps the explicit
+    coalesce(get) construction because slice would drop the padding."""
+    padded = F.array(
+        F.concat_ws(
+            " ", *[F.coalesce(F.get(w, j), F.lit("")) for j in range(n)]
+        )
     )
+    return F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        ),
+    ).otherwise(padded)
 
 
 def _grams_expr(w: Column) -> Column:
@@ -108,8 +125,8 @@ def _capped_shingle_table(docs: DataFrame, checkpoint: bool = True) -> DataFrame
     assertions; the default lazily materializes twice (pre-cap, so the
     explode runs once for the hot-agg and the anti-join; post-cap, so
     sizes and both self-join sides reuse one result)."""
-    sh = docs.select(
-        "doc_id", F.explode(_shingles_expr(_words())).alias("shingle")
+    sh = docs.select("doc_id", _words().alias("w")).select(
+        "doc_id", F.explode(_shingles_expr(F.col("w"))).alias("shingle")
     )
     if checkpoint:
         sh = sh.localCheckpoint(eager=False)
@@ -466,24 +483,44 @@ def q_duplicate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate. Permille floored to keep the value integral
     cross-engine."""
     docs = load_table(spark, sf_dir, "documents")
-    w = _words()
-    grams = docs.select(
+    arr = docs.select("doc_id", _words().alias("w")).select(
         "doc_id",
-        F.explode(F.array_distinct(_ngrams_expr(w, _COVERAGE_N))).alias("g"),
+        F.array_distinct(_ngrams_expr(F.col("w"), _COVERAGE_N)).alias("grams"),
+    )
+    # arr is consumed twice (explode + n_grams) but NOT checkpointed:
+    # measured 2x cheaper to recompute the split than to materialize
+    # the wide gram-array column (the narrow exploded table below IS
+    # checkpointed — that's the reuse that matters)
+    grams = arr.select(
+        "doc_id", F.explode("grams").alias("g")
     ).select("doc_id", F.md5("g").alias("gh"))
-    df_tab = grams.groupBy("gh").agg(F.count("*").alias("df"))
-    return (
-        grams.join(df_tab, on="gh")
+    # two consumers (dup-set agg + semi-join probe): explode once
+    grams = grams.localCheckpoint(eager=False)
+    # n_grams needs no shuffle at all (array size per row); the join
+    # probes only the DUPLICATED gram set (df>=2) — at corpus scale the
+    # overwhelming majority of 13-grams are unique, so the join's build
+    # side is a small fraction of the gram table
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("gh")
+    )
+    shared = (
+        grams.join(dup, on="gh", how="left_semi")
         .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_grams"),
-            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("shared_grams"),
-        )
+        .agg(F.count("*").alias("shared_grams"))
+    )
+    return (
+        arr.select("doc_id", F.size("grams").cast("long").alias("n_grams"))
+        .join(shared, on="doc_id", how="left")
         .select(
             "doc_id",
             "n_grams",
-            "shared_grams",
-            F.floor(F.col("shared_grams") * 1000 / F.col("n_grams"))
+            F.coalesce("shared_grams", F.lit(0)).cast("long").alias("shared_grams"),
+            F.floor(
+                F.coalesce("shared_grams", F.lit(0)) * 1000 / F.col("n_grams")
+            )
             .cast("long")
             .alias("coverage_permille"),
         )
@@ -538,12 +575,12 @@ def q_chunk_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     a viral chunk's occurrence list), join winners back, rebuild text
     with a per-doc collect_list bounded by the document's own size."""
     docs = load_table(spark, sf_dir, "documents")
-    w = _words()
+    w = F.col("w")  # materialized split column (no CSE inside HOF lambdas)
     n_chunks = F.greatest(
         F.ceil(F.size(w) / F.lit(_CHUNK_W)).cast("int"), F.lit(1)
     )
     # chunk_idx (the position within the doc) comes from posexplode
-    chunks = docs.select(
+    chunks = docs.select("doc_id", _words().alias("w")).select(
         "doc_id",
         F.posexplode(
             F.transform(
@@ -554,6 +591,8 @@ def q_chunk_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk_idx", "chunk"),
     ).select("doc_id", "chunk_idx", "chunk", F.md5("chunk").alias("h"))
+    # three consumers (winner agg, join side, per-doc count): one explode
+    chunks = chunks.localCheckpoint(eager=False)
     winners = chunks.groupBy("h").agg(
         F.min(F.struct("doc_id", "chunk_idx")).alias("win")
     )
@@ -1007,16 +1046,25 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     array_min) — no shuffle at all except the final explode; the gram
     hash is md5-based so the DuckDB oracle computes identical values.
     """
-    w = _words()
-    h = F.transform(_grams_expr(w), lambda g: _hex8_to_long_spark(F.md5(g)))
+    docs = load_table(spark, sf_dir, "documents")
+    # materialize the split AND the gram-hash arrays as real columns:
+    # Catalyst does not CSE inside HOF lambdas, so inline forms
+    # re-evaluate the whole upstream expression per window position
+    staged = docs.select("doc_id", _words().alias("w")).select(
+        "doc_id",
+        F.transform(
+            _grams_expr(F.col("w")),
+            lambda g: _hex8_to_long_spark(F.md5(g)),
+        ).alias("h"),
+    )
     mins = F.transform(
         F.sequence(
-            F.lit(1), F.greatest(F.size(h) - F.lit(_WINNOW_W - 1), F.lit(1))
+            F.lit(1),
+            F.greatest(F.size(F.col("h")) - F.lit(_WINNOW_W - 1), F.lit(1)),
         ),
-        lambda i: F.array_min(F.slice(h, i, _WINNOW_W)),
+        lambda i: F.array_min(F.slice(F.col("h"), i, _WINNOW_W)),
     )
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    return staged.select(
         "doc_id", F.explode(F.array_distinct(mins)).alias("fingerprint")
     )
 

@@ -95,6 +95,8 @@ def test_no_cartesian_in_any_dedup_similarity_query(spark):
         "ann_lsh_bucketed",
         "near_dup_clusters_exact",
         "quarantine_plan",
+        "duplicate_ngram_coverage",
+        "chunk_dedup_corpus",
     ):
         plan = plan_of(QUERIES[name](spark, SF_DIR))
         assert "CartesianProduct" not in plan, name

@@ -30,6 +30,8 @@ LIGHT = [
     "winnowing_fingerprints",
     "train_val_test_split",
     "quarantine_plan",
+    "duplicate_ngram_coverage",
+    "chunk_dedup_corpus",
 ]
 
 
@@ -121,3 +123,57 @@ def test_dup_rate_null_text_counts_as_empty_class_cross_engine(spark, tmp_path):
     )
     o = {tuple(r) for r in con.sql(ORACLES["dup_rate_by_lang"]).fetchall()}
     assert s == o == {("en", 3, 2, 333)}
+
+
+def test_chunk_dedup_removes_shared_boilerplate(spark, tmp_path):
+    """A 32-word boilerplate block shared by two docs survives only in
+    the first (smallest doc_id); the later doc keeps its unique chunk
+    and loses the repeated one. Whole-doc exact dups lose everything."""
+    from imageduplicatefinder_spark.queries import QUERIES
+
+    boiler = " ".join(f"b{i}" for i in range(32))
+    uniq = " ".join(f"u{i}" for i in range(32))
+    docs = spark.createDataFrame(
+        [
+            (1, boiler, "en", len(boiler)),
+            (2, boiler + " " + uniq, "en", len(boiler) + 1 + len(uniq)),
+            (3, boiler, "en", len(boiler)),          # exact dup of 1
+        ],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    sf = str(tmp_path)
+    docs.write.parquet(sf + "/documents.parquet")
+    got = {r.doc_id: r for r in
+           QUERIES["chunk_dedup_corpus"](spark, sf).collect()}
+    assert got[1].cleaned_text == boiler
+    assert (got[1].n_chunks, got[1].kept_chunks) == (1, 1)
+    assert got[2].cleaned_text == uniq               # boilerplate stripped
+    assert (got[2].n_chunks, got[2].kept_chunks) == (2, 1)
+    assert got[3].cleaned_text == ""                 # fully deduplicated
+    assert (got[3].n_chunks, got[3].kept_chunks) == (1, 0)
+
+
+def test_duplicate_ngram_coverage_flags_near_copy(spark, tmp_path):
+    """A doc sharing a long run of words with another gets nonzero
+    coverage; a fully unique doc gets zero; an exact copy gets 1000."""
+    from imageduplicatefinder_spark.queries import QUERIES
+
+    shared = " ".join(f"s{i}" for i in range(20))    # 8 shared 13-grams
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " tail1 tail2 tail3", "en", 1),
+            (2, shared + " other1 other2 other3", "en", 1),
+            (3, "totally different words " + " ".join(f"z{i}" for i in range(20)),
+             "en", 1),
+            (4, shared + " tail1 tail2 tail3", "en", 1),   # exact copy of 1
+        ],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    sf = str(tmp_path)
+    docs.write.parquet(sf + "/documents.parquet")
+    got = {r.doc_id: r for r in
+           QUERIES["duplicate_ngram_coverage"](spark, sf).collect()}
+    assert got[1].coverage_permille == 1000          # exact copy exists
+    assert got[4].coverage_permille == 1000
+    assert 0 < got[2].coverage_permille < 1000       # prefix shared only
+    assert got[3].coverage_permille == 0
