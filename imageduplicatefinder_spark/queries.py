@@ -888,7 +888,11 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts -> per-doc max/sum — no per-doc Python, no window over a
     mega-group."""
     docs = load_table(spark, sf_dir, "documents")
-    w = _words()
+    # materialize the split first: the bigram lambda references w twice
+    # per position, and Catalyst does not CSE inside HOF lambdas — an
+    # inline split() would be re-evaluated 2x per bigram
+    wdf = docs.select("doc_id", _words().alias("w"))
+    w = F.col("w")
     n = F.size(w)
     # guard n < 2: sequence(1, 0) yields a DESCENDING [1, 0] in Spark
     # and element_at(w, 0)/element_at(w, 2) then raise — single-word
@@ -903,7 +907,7 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    base = docs.select("doc_id", w.alias("w"), bigrams.alias("bg"))
+    base = wdf.select("doc_id", "w", bigrams.alias("bg"))
     base = base.localCheckpoint(eager=False)  # consumed by both explodes
 
     def top_share(col: str, out: str) -> DataFrame:
