@@ -84,6 +84,15 @@ def main() -> None:
         fn()
         timings[name] = round(time.monotonic() - t0, 3)
 
+    # warm up the JVM + Python workers + parquet footers before timing:
+    # the first action in a fresh session otherwise pays ~10 s of
+    # startup that belongs to no particular query
+    from pyspark.sql import functions as F
+
+    from imageduplicatefinder_spark.sources.tables import load_table
+
+    load_table(spark, sf_dir, "documents").select(F.md5("text")).count()
+
     # headline catalog queries (count() forces full execution)
     for q in (
         "ngram_jaccard_pairs",

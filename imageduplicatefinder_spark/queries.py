@@ -1101,6 +1101,59 @@ SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fingerprint FROM mins
 _BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
 
+# PII-ish patterns chosen to behave IDENTICALLY under Java regex
+# (Spark) and RE2 (DuckDB): explicit character classes only — no \b
+# word boundaries, no lookaround (RE2 has neither), no \d shorthand
+# (unicode-class semantics differ between engines)
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+_PII_IPV4 = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+_PII_HEX = "[0-9a-f]{32,}"
+
+
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data scrubbing pass: count and redact email addresses,
+    IPv4 literals, and long (>=32 char) lowercase-hex blobs (API keys,
+    tokens, digests) per document. Patterns are restricted to syntax
+    with identical semantics in Java regex and RE2 so the redacted text
+    itself is value-hash checked cross-engine, not just the counts.
+    Row-local Catalyst expressions — single scan, no shuffle, no
+    Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, _PII_EMAIL, "<EMAIL>"),
+            _PII_IPV4,
+            "<IP>",
+        ),
+        _PII_HEX,
+        "<HEX>",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(_PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(_PII_IPV4)).cast("long").alias("n_ips"),
+        F.regexp_count(t, F.lit(_PII_HEX)).cast("long").alias("n_hex_secrets"),
+        redacted.alias("redacted_text"),
+    )
+
+
+SQL_PII_REDACTION = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(coalesce(text, ''), '{_PII_EMAIL}'))
+         AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(coalesce(text, ''), '{_PII_IPV4}'))
+         AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(coalesce(text, ''), '{_PII_HEX}'))
+         AS BIGINT) AS n_hex_secrets,
+       regexp_replace(regexp_replace(regexp_replace(coalesce(text, ''),
+           '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_IPV4}', '<IP>', 'g'),
+           '{_PII_HEX}', '<HEX>', 'g') AS redacted_text
+FROM documents
+"""
+
+
 def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-ish token counting: subword-boundary regex (letter runs,
     digit runs, punctuation singletons) vs whitespace tokens — the
@@ -2602,6 +2655,7 @@ QUERIES: dict[str, QueryFn] = {
     "dup_rate_by_lang": q_dup_rate_by_lang,
     "duplicate_ngram_coverage": q_duplicate_ngram_coverage,
     "chunk_dedup_corpus": q_chunk_dedup_corpus,
+    "pii_redaction": q_pii_redaction,
     "bpe_token_counts": q_bpe_token_counts,
     # embeddings / similarity search
     "embedding_norms": q_embedding_norms,
@@ -2669,6 +2723,7 @@ ORACLES: dict[str, str] = {
     "dup_rate_by_lang": SQL_DUP_RATE_BY_LANG,
     "duplicate_ngram_coverage": SQL_DUPLICATE_NGRAM_COVERAGE,
     "chunk_dedup_corpus": SQL_CHUNK_DEDUP_CORPUS,
+    "pii_redaction": SQL_PII_REDACTION,
     "bpe_token_counts": SQL_BPE_TOKEN_COUNTS,
     "embedding_norms": SQL_EMBEDDING_NORMS,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,

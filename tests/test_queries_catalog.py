@@ -32,6 +32,7 @@ LIGHT = [
     "quarantine_plan",
     "duplicate_ngram_coverage",
     "chunk_dedup_corpus",
+    "pii_redaction",
 ]
 
 
@@ -177,3 +178,37 @@ def test_duplicate_ngram_coverage_flags_near_copy(spark, tmp_path):
     assert got[4].coverage_permille == 1000
     assert 0 < got[2].coverage_permille < 1000       # prefix shared only
     assert got[3].coverage_permille == 0
+
+
+def test_pii_redaction_counts_and_text_cross_engine(spark, tmp_path):
+    """Planted emails / IPv4s / hex secrets must be counted and redacted
+    IDENTICALLY by Spark (Java regex) and DuckDB (RE2) — the patterns
+    are deliberately restricted to shared-semantics syntax."""
+    import duckdb
+
+    from imageduplicatefinder_spark.queries import ORACLES, QUERIES
+
+    secret = "deadbeef" * 4
+    docs = spark.createDataFrame(
+        [
+            (1, "contact a.b+c@ex-ample.org or 10.0.255.1 now", "en", 1),
+            (2, f"token {secret} and email x@y.io end", "en", 1),
+            (3, "clean text with no secrets at all", "en", 1),
+            (4, None, "en", 0),
+        ],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    docs.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    s = {r.doc_id: (r.n_emails, r.n_ips, r.n_hex_secrets, r.redacted_text)
+         for r in QUERIES["pii_redaction"](spark, str(tmp_path)).collect()}
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    o = {r[0]: tuple(r[1:]) for r in con.sql(ORACLES["pii_redaction"]).fetchall()}
+    assert s == o
+    assert s[1] == (1, 1, 0, "contact <EMAIL> or <IP> now")
+    assert s[2] == (1, 0, 1, "token <HEX> and email <EMAIL> end")
+    assert s[3][:3] == (0, 0, 0)
+    assert s[4] == (0, 0, 0, "")
