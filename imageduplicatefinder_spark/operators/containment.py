@@ -11,12 +11,13 @@ Implementation note: each pair is checked once in the flat form, so
 the optimal primitive there is a single substring scan (CPython's
 find() is a tuned two-way/Crochemore-Perrin search — building a
 suffix array per pair would cost O(n log n) to answer one O(n+m)
-question). A suffix structure pays off exactly when many probes hit
-one host; the grouped form (`containment_verify_grouped`) groups
-candidate pairs per host document and, once a host attracts enough
-probes (``use_suffix_array="auto"``), builds the host's suffix array
-ONCE (prefix-doubling, vectorized numpy, O(n log^2 n)) and answers
-each probe by binary search in O(m log n) — the north_star's
+question). A suffix structure pays off only when MANY probes hit one
+host; the grouped form (`containment_verify_grouped`) groups candidate
+pairs per host document and, once a host attracts enough probes
+(``use_suffix_array="auto"``, measured crossover ~12k probes/host —
+CPython's find() is a very hard baseline), builds the host's suffix
+array ONCE (prefix-doubling, vectorized numpy, O(n log^2 n)) and
+answers each probe by binary search in O(m log n) — the north_star's
 "suffix-array substring matching for containment duplicates" made
 literal, with the crossover to plain find() handled per group.
 
@@ -162,7 +163,7 @@ def containment_verify_grouped(
     pairs: DataFrame,
     documents: DataFrame,
     use_suffix_array: bool | str = "auto",
-    sa_min_probes: int = 8,
+    sa_min_probes: int = 16384,
 ) -> DataFrame:
     """Grouped form: candidate pairs grouped per larger-side document
     (the HOST — not per dst, which is merely the greater doc_id) so one
@@ -173,10 +174,14 @@ def containment_verify_grouped(
 
     ``use_suffix_array``: True forces suffix-array probing, False
     forces find(), "auto" (default) builds the host's suffix array only
-    when the group carries >= ``sa_min_probes`` candidate pairs — the
-    regime where the O(n log^2 n) one-time build amortizes to cheaper
-    than ``probes * O(n)`` scans. Results are bit-identical either way
-    (property-tested); only the probe primitive changes.
+    when the group carries >= ``sa_min_probes`` candidate pairs.
+    The default crossover is MEASURED, not assumed: on a 1.15 MB host,
+    SA build = 4.6 s (4e-6 s/char) while one CPython find() scan =
+    0.39 ms (3.4e-10 s/char) and one SA probe = 0.02 ms — both costs
+    scale ~linearly with host size, so the break-even is ~12 000 probes
+    per host INDEPENDENT of host length; 16384 adds margin. Results
+    are bit-identical either way (property-tested); only the probe
+    primitive changes.
 
     Same output schema as containment_verify.
     """
