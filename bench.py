@@ -93,8 +93,12 @@ def main() -> None:
 
     load_table(spark, sf_dir, "documents").select(F.md5("text")).count()
 
+    # SPARK_GRAFT_BENCH_PIPELINE_ONLY=1 skips the catalog loop — used by
+    # scaling runs that only need the pipeline workload timed
+    pipeline_only = os.environ.get("SPARK_GRAFT_BENCH_PIPELINE_ONLY", "0") == "1"
+
     # headline catalog queries (count() forces full execution)
-    for q in (
+    for q in () if pipeline_only else (
         "ngram_jaccard_pairs",
         "token_set_dup_groups",
         "doc_fingerprint",
