@@ -91,7 +91,11 @@ def main() -> None:
 
     from imageduplicatefinder_spark.sources.tables import load_table
 
-    load_table(spark, sf_dir, "documents").select(F.md5("text")).count()
+    # .count() alone would be pruned to a metadata-only scan; the agg
+    # over md5 forces real text IO + codegen + (Arrow) execution paths
+    load_table(spark, sf_dir, "documents").agg(
+        F.max(F.md5("text"))
+    ).collect()
 
     # SPARK_GRAFT_BENCH_PIPELINE_ONLY=1 skips the catalog loop — used by
     # scaling runs that only need the pipeline workload timed

@@ -69,7 +69,7 @@ def _suffix_array(s: str):
     n = len(s)
     if n == 0:
         return np.empty(0, dtype=np.int64)
-    codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+    codes = np.frombuffer(s.encode("utf-32-le"), dtype="<u4")  # explicit LE
     rank = np.unique(codes, return_inverse=True)[1].astype(np.int64)
     k = 1
     while True:
@@ -216,6 +216,7 @@ def containment_verify_grouped(
         host_sa = _suffix_array(host) if (with_sa and host) else None
         host_canon = None
         host_canon_sa = None
+        canon_probes = 0  # canonical path has its OWN crossover count
         for src, dst, ca, cb in zip(
             pdf["src"], pdf["dst"], pdf["content_src"], pdf["content_dst"]
         ):
@@ -230,8 +231,16 @@ def containment_verify_grouped(
             if not canon_hit:
                 if host_canon is None:
                     host_canon = _canon(host)
-                    if with_sa and host_canon:
-                        host_canon_sa = _suffix_array(host_canon)
+                canon_probes += 1
+                # build the canonical SA only once the canonical-path
+                # probe count itself crosses the threshold (forced mode
+                # builds on first use) — most groups send only a few
+                # probes down this path, where `in` is far cheaper
+                if host_canon_sa is None and host_canon and (
+                    use_suffix_array is True
+                    or (with_sa and canon_probes >= sa_min_probes)
+                ):
+                    host_canon_sa = _suffix_array(host_canon)
                 small_c = _canon(small)
                 if host_canon_sa is not None:
                     canon_hit = _sa_find(host_canon, host_canon_sa, small_c) >= 0

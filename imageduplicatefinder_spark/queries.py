@@ -579,8 +579,15 @@ def q_chunk_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_chunks = F.greatest(
         F.ceil(F.size(w) / F.lit(_CHUNK_W)).cast("int"), F.lit(1)
     )
-    # chunk_idx (the position within the doc) comes from posexplode
-    chunks = docs.select("doc_id", _words().alias("w")).select(
+    # chunk_idx (the position within the doc) comes from posexplode.
+    # NULL text coalesces to '' BEFORE the split on both engines: Spark
+    # would otherwise emit chunk "" (concat_ws over a null slice) while
+    # DuckDB's array_to_string(list_slice(NULL,..)) yields NULL — a
+    # different dedup partition (md5(NULL) IS NULL)
+    chunks = docs.select(
+        "doc_id",
+        F.split(F.coalesce(F.col("text"), F.lit("")), " ").alias("w"),
+    ).select(
         "doc_id",
         F.posexplode(
             F.transform(
@@ -627,7 +634,7 @@ def q_chunk_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_CHUNK_DEDUP_CORPUS = f"""
 WITH words AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w FROM documents
 ),
 chunks AS (
   SELECT doc_id,

@@ -132,6 +132,10 @@ def test_chunk_dedup_removes_shared_boilerplate(spark, tmp_path):
     and loses the repeated one. Whole-doc exact dups lose everything."""
     from imageduplicatefinder_spark.queries import QUERIES
 
+    import duckdb
+
+    from imageduplicatefinder_spark.queries import ORACLES
+
     boiler = " ".join(f"b{i}" for i in range(32))
     uniq = " ".join(f"u{i}" for i in range(32))
     docs = spark.createDataFrame(
@@ -139,11 +143,13 @@ def test_chunk_dedup_removes_shared_boilerplate(spark, tmp_path):
             (1, boiler, "en", len(boiler)),
             (2, boiler + " " + uniq, "en", len(boiler) + 1 + len(uniq)),
             (3, boiler, "en", len(boiler)),          # exact dup of 1
+            (4, None, "en", 0),                      # NULL text == '' class
+            (5, "", "en", 0),
         ],
         "doc_id long, text string, lang string, n_chars long",
     )
     sf = str(tmp_path)
-    docs.write.parquet(sf + "/documents.parquet")
+    docs.coalesce(1).write.parquet(sf + "/documents.parquet")
     got = {r.doc_id: r for r in
            QUERIES["chunk_dedup_corpus"](spark, sf).collect()}
     assert got[1].cleaned_text == boiler
@@ -152,6 +158,18 @@ def test_chunk_dedup_removes_shared_boilerplate(spark, tmp_path):
     assert (got[2].n_chunks, got[2].kept_chunks) == (2, 1)
     assert got[3].cleaned_text == ""                 # fully deduplicated
     assert (got[3].n_chunks, got[3].kept_chunks) == (1, 0)
+    # NULL and '' docs share the empty-chunk class: first (doc 4) wins
+    assert (got[4].n_chunks, got[4].kept_chunks) == (1, 1)
+    assert (got[5].n_chunks, got[5].kept_chunks) == (1, 0)
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf}/documents.parquet/*.parquet'"
+    )
+    o = {r[0]: tuple(r[1:]) for r in
+         con.sql(ORACLES["chunk_dedup_corpus"]).fetchall()}
+    assert o == {d: (r.n_chunks, r.kept_chunks, r.cleaned_text)
+                 for d, r in got.items()}
 
 
 def test_duplicate_ngram_coverage_flags_near_copy(spark, tmp_path):
