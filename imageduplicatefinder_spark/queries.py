@@ -1108,6 +1108,94 @@ SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fingerprint FROM mins
 _BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
 
+_EVAL_SOURCE = "src0"  # held-out split for the decontamination query
+
+
+def q_decontaminate_vs_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C / PaLM style): treat
+    one source shard as the EVAL set and flag every training document
+    (all other sources) that shares at least one word-13-gram with any
+    eval document — plus how many of its grams are contaminated. The
+    standard pre-training hygiene pass, expressed as a semi-ish join:
+    explode distinct 13-grams on both sides, shuffle on the gram md5,
+    inner-join train grams against the (deduplicated) eval gram set,
+    count per train doc. Eval gram tables are small relative to the
+    corpus, so at scale Spark can broadcast them shard-by-shard; here
+    the equi-join shape is what matters (no cartesian, fixed-width
+    key).
+
+    Returns only CONTAMINATED train docs (doc_id, n_grams,
+    contaminated_grams, contamination_permille), deterministic."""
+    docs = load_table(spark, sf_dir, "documents")
+    wdocs = docs.select(
+        "doc_id", "source", _words().alias("w")
+    ).select(
+        "doc_id",
+        "source",
+        F.array_distinct(_ngrams_expr(F.col("w"), _COVERAGE_N)).alias("grams"),
+    )
+    grams = wdocs.select(
+        "doc_id", "source", F.explode("grams").alias("g")
+    ).select("doc_id", "source", F.md5("g").alias("gh"))
+    eval_grams = (
+        grams.filter(F.col("source") == _EVAL_SOURCE).select("gh").distinct()
+    )
+    train = grams.filter(F.col("source") != _EVAL_SOURCE)
+    contaminated = (
+        train.join(eval_grams, on="gh", how="left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("contaminated_grams"))
+    )
+    totals = wdocs.filter(F.col("source") != _EVAL_SOURCE).select(
+        "doc_id", F.size("grams").cast("long").alias("n_grams")
+    )
+    return (
+        totals.join(contaminated, on="doc_id")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.col("contaminated_grams").cast("long").alias("contaminated_grams"),
+            F.floor(F.col("contaminated_grams") * 1000 / F.col("n_grams"))
+            .cast("long")
+            .alias("contamination_permille"),
+        )
+    )
+
+
+SQL_DECONTAMINATE_VS_EVAL = f"""
+WITH words AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, source, md5(unnest(list_distinct(list_transform(
+    generate_series(1, greatest(len(w) - {_COVERAGE_N - 1}, 1)),
+    i -> {" || ' ' || ".join(f"coalesce(w[i+{j}], '')" for j in range(_COVERAGE_N))}
+  )))) AS gh
+  FROM words
+),
+eval_grams AS (
+  SELECT DISTINCT gh FROM grams WHERE source = '{_EVAL_SOURCE}'
+),
+contaminated AS (
+  SELECT g.doc_id, count(*) AS contaminated_grams
+  FROM grams g
+  WHERE g.source <> '{_EVAL_SOURCE}'
+    AND EXISTS (SELECT 1 FROM eval_grams e WHERE e.gh = g.gh)
+  GROUP BY g.doc_id
+),
+totals AS (
+  SELECT doc_id, count(*) AS n_grams
+  FROM grams WHERE source <> '{_EVAL_SOURCE}' GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(t.n_grams AS BIGINT) AS n_grams,
+       CAST(c.contaminated_grams AS BIGINT) AS contaminated_grams,
+       CAST(floor(c.contaminated_grams * 1000.0 / t.n_grams) AS BIGINT)
+         AS contamination_permille
+FROM totals t JOIN contaminated c ON t.doc_id = c.doc_id
+"""
+
+
 # PII-ish patterns chosen to behave IDENTICALLY under Java regex
 # (Spark) and RE2 (DuckDB): explicit character classes only — no \b
 # word boundaries, no lookaround (RE2 has neither), no \d shorthand
@@ -2662,6 +2750,7 @@ QUERIES: dict[str, QueryFn] = {
     "dup_rate_by_lang": q_dup_rate_by_lang,
     "duplicate_ngram_coverage": q_duplicate_ngram_coverage,
     "chunk_dedup_corpus": q_chunk_dedup_corpus,
+    "decontaminate_vs_eval": q_decontaminate_vs_eval,
     "pii_redaction": q_pii_redaction,
     "bpe_token_counts": q_bpe_token_counts,
     # embeddings / similarity search
@@ -2730,6 +2819,7 @@ ORACLES: dict[str, str] = {
     "dup_rate_by_lang": SQL_DUP_RATE_BY_LANG,
     "duplicate_ngram_coverage": SQL_DUPLICATE_NGRAM_COVERAGE,
     "chunk_dedup_corpus": SQL_CHUNK_DEDUP_CORPUS,
+    "decontaminate_vs_eval": SQL_DECONTAMINATE_VS_EVAL,
     "pii_redaction": SQL_PII_REDACTION,
     "bpe_token_counts": SQL_BPE_TOKEN_COUNTS,
     "embedding_norms": SQL_EMBEDDING_NORMS,

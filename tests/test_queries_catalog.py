@@ -33,6 +33,7 @@ LIGHT = [
     "duplicate_ngram_coverage",
     "chunk_dedup_corpus",
     "pii_redaction",
+    "decontaminate_vs_eval",
 ]
 
 
@@ -230,3 +231,26 @@ def test_pii_redaction_counts_and_text_cross_engine(spark, tmp_path):
     assert s[2] == (1, 0, 1, "token <HEX> and email <EMAIL> end")
     assert s[3][:3] == (0, 0, 0)
     assert s[4] == (0, 0, 0, "")
+
+
+def test_decontamination_flags_eval_overlap(spark, tmp_path):
+    """A train doc sharing a 13-gram run with an eval-source doc is
+    flagged with the right gram counts; clean train docs and the eval
+    docs themselves are absent from the output."""
+    from imageduplicatefinder_spark.queries import QUERIES
+
+    leak = " ".join(f"e{i}" for i in range(20))      # 8 shared 13-grams
+    docs = spark.createDataFrame(
+        [
+            (1, leak + " benchmark answer key", "en", "src0", 1),   # eval
+            (2, leak + " training tail words x", "en", "src3", 1),  # leaked
+            (3, "totally unrelated training text " * 4, "en", "src3", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r.doc_id: r for r in
+           QUERIES["decontaminate_vs_eval"](spark, str(tmp_path)).collect()}
+    assert set(got) == {2}
+    assert got[2].contaminated_grams == 8
+    assert 0 < got[2].contamination_permille < 1000
