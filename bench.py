@@ -117,6 +117,8 @@ def main() -> None:
         "near_dup_clusters_exact",
         "duplicate_ngram_coverage",
         "chunk_dedup_corpus",
+        "decontaminate_vs_eval",
+        "pii_redaction",
     ):
         timed(q, lambda q=q: QUERIES[q](spark, sf_dir).count())
 
