@@ -292,6 +292,69 @@ WHERE floor(inter * 1000.0 / (sa.n + sb.n - inter)) >= 800
 """
 
 
+def q_ngram_jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME operator as q_ngram_jaccard_pairs (Jaccard >= 0.8 over
+    the DF-capped shingle space) computed via PREFIX FILTERING
+    (AllPairs/PPJoin family, Bayardo et al. 2007) instead of the full
+    shingle self-join — the third candidate-generation scheme next to
+    LSH banding (probabilistic) and the full equi-join (exact, heavy):
+    order shingles globally by (document frequency asc, shingle), keep
+    only each doc's first |X| - ceil(0.8|X|) + 1 shingles (its ~20%
+    RAREST), and join prefix against prefix — any pair with J >= 0.8
+    provably shares a prefix shingle, so after exact verification the
+    result is IDENTICAL to the brute-force form (shares its oracle; a
+    pytest pins Spark-vs-Spark equality too). The join both shrinks
+    ~5x in rows and moves to the rarest (smallest-fanout) keys."""
+    sh = _capped_shingle_table(load_table(spark, sf_dir, "documents"))
+    df_tab = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    per_doc = (
+        sh.join(df_tab, on="shingle")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("toks"))
+    )
+    n = F.size("toks")
+    p = (n - F.ceil(n * F.lit(0.8)) + F.lit(1)).cast("int")
+    prefix = per_doc.select(
+        "doc_id",
+        F.explode(
+            F.transform(F.slice("toks", F.lit(1), p), lambda s: s["shingle"])
+        ).alias("shingle"),
+    )
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), on="shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # exact verification: full intersection count for candidates only
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"),
+                  on="doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+              on=["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    withs = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"),
+                                F.col("n").alias("n_a")), on="doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("n").alias("n_b")), on="doc_b")
+    )
+    union = F.col("n_a") + F.col("n_b") - F.col("inter")
+    return (
+        withs.withColumn("union_n", union)
+        .withColumn("jaccard_milli",
+                    F.floor(F.col("inter") * 1000.0 / F.col("union_n")))
+        .filter(F.col("jaccard_milli") >= 800)
+        .select("doc_a", "doc_b", "inter", "union_n", "jaccard_milli")
+    )
+
+
 def q_ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Containment duplicates (watermark analog, FIXTURES.md §3):
     containment_milli = floor(1000 * |A∩B| / min(|A|,|B|)) >= 900."""
@@ -2730,6 +2793,7 @@ QUERIES: dict[str, QueryFn] = {
     "exact_dup_pairs": q_exact_dup_pairs,
     "token_set_dup_groups": q_token_set_dup_groups,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "ngram_jaccard_prefix_pairs": q_ngram_jaccard_prefix_pairs,
     "ngram_containment_pairs": q_ngram_containment_pairs,
     "char_ngram_jaccard_pairs": q_char_ngram_jaccard_pairs,
     "containment_confirmed": q_containment_confirmed,
@@ -2797,6 +2861,7 @@ ORACLES: dict[str, str] = {
     "exact_dup_pairs": SQL_EXACT_DUP_PAIRS,
     "token_set_dup_groups": SQL_TOKEN_SET_DUP_GROUPS,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "ngram_jaccard_prefix_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "ngram_containment_pairs": SQL_NGRAM_CONTAINMENT_PAIRS,
     "char_ngram_jaccard_pairs": SQL_CHAR_NGRAM_JACCARD_PAIRS,
     "containment_confirmed": SQL_CONTAINMENT_CONFIRMED,

@@ -254,3 +254,16 @@ def test_decontamination_flags_eval_overlap(spark, tmp_path):
     assert set(got) == {2}
     assert got[2].contaminated_grams == 8
     assert 0 < got[2].contamination_permille < 1000
+
+
+def test_prefix_filter_equals_full_shingle_join(spark):
+    """Prefix filtering (AllPairs) must return EXACTLY the brute-force
+    jaccard pairs — the prefix guarantee is exact, not probabilistic."""
+    from imageduplicatefinder_spark.queries import QUERIES
+
+    full = {tuple(r) for r in
+            QUERIES["ngram_jaccard_pairs"](spark, SF_DIR).collect()}
+    pref = {tuple(r) for r in
+            QUERIES["ngram_jaccard_prefix_pairs"](spark, SF_DIR).collect()}
+    assert full == pref
+    assert full  # non-vacuous: sf0.001 has planted near-dup families
