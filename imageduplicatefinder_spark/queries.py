@@ -313,7 +313,11 @@ def q_ngram_jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("toks"))
     )
     n = F.size("toks")
-    p = (n - F.ceil(n * F.lit(0.8)) + F.lit(1)).cast("int")
+    # prefix length |X| - ceil(t|X|) + 1 with t = 4/5 in EXACT integer
+    # arithmetic (ceil(4n/5) = floor((4n+4)/5)) — ceil(n * 0.8) in
+    # doubles happens to round correctly here but only by a 2x ulp
+    # margin; an integral t deserves integral math
+    p = (n - F.floor((n * 4 + F.lit(4)) / F.lit(5)) + F.lit(1)).cast("int")
     prefix = per_doc.select(
         "doc_id",
         F.explode(
