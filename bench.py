@@ -119,6 +119,7 @@ def main() -> None:
         "chunk_dedup_corpus",
         "decontaminate_vs_eval",
         "pii_redaction",
+        "ngram_jaccard_prefix_pairs",
     ):
         timed(q, lambda q=q: QUERIES[q](spark, sf_dir).count())
 
