@@ -323,7 +323,7 @@ def q_ngram_jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.transform(F.slice("toks", F.lit(1), p), lambda s: s["shingle"])
         ).alias("shingle"),
-    )
+    ).localCheckpoint(eager=False)  # both self-join sides reuse one build
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), on="shingle")
@@ -539,6 +539,36 @@ def q_containment_confirmed_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
 _COVERAGE_N = 13  # GPT-3 appendix-A decontamination gram length
 
 
+def _grams13_arrays(docs: DataFrame, *extra_cols: str) -> DataFrame:
+    """(doc_id, *extra, grams): DISTINCT word-13-gram arrays — the ONE
+    Spark-side 13-gram builder (duplicate-coverage + decontamination
+    both derive from it, so the construction cannot silently
+    desynchronize between the two ops or from the SQL fragment)."""
+    return docs.select("doc_id", *extra_cols, _words().alias("w")).select(
+        "doc_id",
+        *extra_cols,
+        F.array_distinct(_ngrams_expr(F.col("w"), _COVERAGE_N)).alias("grams"),
+    )
+
+
+def _grams13_exploded(arr: DataFrame, *extra_cols: str) -> DataFrame:
+    """Explode _grams13_arrays to (doc_id, *extra, gh) with the
+    fixed-width md5 shuffle key."""
+    return arr.select(
+        "doc_id", *extra_cols, F.explode("grams").alias("g")
+    ).select("doc_id", *extra_cols, F.md5("g").alias("gh"))
+
+
+# the ONE DuckDB-side 13-gram expression (over a `w` word-array column)
+_SQL_GRAMS13 = (
+    "md5(unnest(list_distinct(list_transform(\n"
+    f"    generate_series(1, greatest(len(w) - {_COVERAGE_N - 1}, 1)),\n"
+    "    i -> "
+    + " || ' ' || ".join(f"coalesce(w[i+{j}], '')" for j in range(_COVERAGE_N))
+    + "\n  ))))"
+)
+
+
 def q_duplicate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-3-style 13-gram overlap signal: for each document, the share
     of its distinct word-13-grams that occur in at least one OTHER
@@ -550,17 +580,12 @@ def q_duplicate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate. Permille floored to keep the value integral
     cross-engine."""
     docs = load_table(spark, sf_dir, "documents")
-    arr = docs.select("doc_id", _words().alias("w")).select(
-        "doc_id",
-        F.array_distinct(_ngrams_expr(F.col("w"), _COVERAGE_N)).alias("grams"),
-    )
+    arr = _grams13_arrays(docs)
     # arr is consumed twice (explode + n_grams) but NOT checkpointed:
     # measured 2x cheaper to recompute the split than to materialize
     # the wide gram-array column (the narrow exploded table below IS
     # checkpointed — that's the reuse that matters)
-    grams = arr.select(
-        "doc_id", F.explode("grams").alias("g")
-    ).select("doc_id", F.md5("g").alias("gh"))
+    grams = _grams13_exploded(arr)
     # two consumers (dup-set agg + semi-join probe): explode once
     grams = grams.localCheckpoint(eager=False)
     # n_grams needs no shuffle at all (array size per row); the join
@@ -599,10 +624,7 @@ WITH words AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
 ),
 grams AS (
-  SELECT doc_id, md5(unnest(list_distinct(list_transform(
-    generate_series(1, greatest(len(w) - {_COVERAGE_N - 1}, 1)),
-    i -> {" || ' ' || ".join(f"coalesce(w[i+{j}], '')" for j in range(_COVERAGE_N))}
-  )))) AS gh
+  SELECT doc_id, {_SQL_GRAMS13} AS gh
   FROM words
 ),
 df AS (
@@ -1194,18 +1216,9 @@ def q_decontaminate_vs_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns only CONTAMINATED train docs (doc_id, n_grams,
     contaminated_grams, contamination_permille), deterministic."""
     docs = load_table(spark, sf_dir, "documents")
-    wdocs = docs.select(
-        "doc_id", "source", _words().alias("w")
-    ).select(
-        "doc_id",
-        "source",
-        F.array_distinct(_ngrams_expr(F.col("w"), _COVERAGE_N)).alias("grams"),
-    )
-    grams = wdocs.select(
-        "doc_id", "source", F.explode("grams").alias("g")
-    ).select("doc_id", "source", F.md5("g").alias("gh"))
+    grams = _grams13_exploded(_grams13_arrays(docs, "source"), "source")
     # three consumers (eval set, contamination probe, totals): build the
-    # gram table once — measured 7.1 s -> ~2 s at sf0.1
+    # gram table once — measured 7.1 s -> 3.7 s at sf0.1 (exclusive)
     grams = grams.localCheckpoint(eager=False)
     eval_grams = (
         grams.filter(F.col("source") == _EVAL_SOURCE).select("gh").distinct()
@@ -1239,10 +1252,7 @@ WITH words AS (
   SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
 ),
 grams AS (
-  SELECT doc_id, source, md5(unnest(list_distinct(list_transform(
-    generate_series(1, greatest(len(w) - {_COVERAGE_N - 1}, 1)),
-    i -> {" || ' ' || ".join(f"coalesce(w[i+{j}], '')" for j in range(_COVERAGE_N))}
-  )))) AS gh
+  SELECT doc_id, source, {_SQL_GRAMS13} AS gh
   FROM words
 ),
 eval_grams AS (
