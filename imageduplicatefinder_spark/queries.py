@@ -333,22 +333,30 @@ def q_ngram_jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # PPJoin length filter BEFORE the expensive verification join:
+    # J >= 4/5 forces |A∩B| >= (4/5)|A∪B| >= (4/5)max(|A|,|B|), and
+    # |A∩B| <= min(|A|,|B|), so any surviving pair has
+    # 5*min >= 4*max (integer math — provably no true pair pruned)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    cand = (
+        cand.join(sizes.select(F.col("doc_id").alias("doc_a"),
+                               F.col("n").alias("n_a")), on="doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("n").alias("n_b")), on="doc_b")
+        .filter(
+            F.least("n_a", "n_b") * 5 >= F.greatest("n_a", "n_b") * 4
+        )
+    )
     # exact verification: full intersection count for candidates only
     inter = (
         cand.join(sh.select(F.col("doc_id").alias("doc_a"), "shingle"),
                   on="doc_a")
         .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
               on=["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count("*").alias("inter"))
     )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    withs = (
-        inter.join(sizes.select(F.col("doc_id").alias("doc_a"),
-                                F.col("n").alias("n_a")), on="doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"),
-                           F.col("n").alias("n_b")), on="doc_b")
-    )
+    withs = inter
     union = F.col("n_a") + F.col("n_b") - F.col("inter")
     return (
         withs.withColumn("union_n", union)
