@@ -68,6 +68,16 @@ class DedupConfig:
     # (almost) all inside the larger doc's (watermark analog).
     containment_threshold: float = 0.8
 
+    # --- candidate generation ----------------------------------------
+    # "lsh": MinHash banding (probabilistic; recall set by the band
+    #   curve — the scale default below the prefix scheme's threshold
+    #   sweet spot). "prefix": AllPairs/PPJoin prefix filtering
+    #   (operators/prefix_join.py) — EXACT for the verify rule, no
+    #   recall knob, deterministic; the right choice for high-threshold
+    #   configs. "exact": full inverted-index self-join (exhaustive,
+    #   quadratic on hot shingles; correctness baseline).
+    candidates: str = "lsh"
+
     # --- skew / scale handling -------------------------------------
     # LSH bands larger than this are capped (deterministic sample) —
     # giant bands (empty files, license headers) otherwise create
@@ -99,6 +109,8 @@ class DedupConfig:
             raise ValueError(f"unknown sketch family {self.sketch!r}")
         if self.cc_algorithm not in ("labelprop", "star"):
             raise ValueError(f"unknown cc_algorithm {self.cc_algorithm!r}")
+        if self.candidates not in ("lsh", "prefix", "exact"):
+            raise ValueError(f"unknown candidate scheme {self.candidates!r}")
 
     # identical config => identical hash => checkpoint reuse is safe
     def config_hash(self) -> str:
@@ -114,6 +126,13 @@ class DedupConfig:
         # format, so checkpoints from before the knob existed stay
         # valid too.
         knobs.pop("cc_algorithm", None)
+        # candidates DOES change which pairs are found (lsh is
+        # probabilistic, prefix/exact are not), so non-default schemes
+        # get distinct hashes; the default is popped so the hashed blob
+        # stays byte-identical to the pre-knob format and existing
+        # "lsh" checkpoints remain valid.
+        if knobs.get("candidates") == "lsh":
+            knobs.pop("candidates")
         blob = json.dumps(knobs, sort_keys=True).encode()
         return hashlib.sha256(blob).hexdigest()[:16]
 

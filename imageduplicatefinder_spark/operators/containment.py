@@ -185,6 +185,13 @@ def containment_verify_grouped(
 
     Same output schema as containment_verify.
     """
+    if use_suffix_array not in (True, False, "auto"):
+        # a misspelled mode ("force", "true", ...) must not silently
+        # fall through to the find() path
+        raise ValueError(
+            f"use_suffix_array must be True, False, or 'auto', "
+            f"got {use_suffix_array!r}"
+        )
     c = documents.select("doc_id", "content")
     joined = (
         pairs.join(c.select(F.col("doc_id").alias("src"),
@@ -213,9 +220,15 @@ def containment_verify_grouped(
         with_sa = use_suffix_array is True or (
             use_suffix_array == "auto" and len(pdf) >= sa_min_probes
         )
-        host_sa = _suffix_array(host) if (with_sa and host) else None
+        try:
+            host_sa = _suffix_array(host) if (with_sa and host) else None
+        except UnicodeEncodeError:
+            # lone surrogates break the utf-32 encode that backs the SA
+            # but are handled fine by str.find — degrade, don't abort
+            host_sa = None
         host_canon = None
         host_canon_sa = None
+        canon_sa_failed = False
         canon_probes = 0  # canonical path has its OWN crossover count
         for src, dst, ca, cb in zip(
             pdf["src"], pdf["dst"], pdf["content_src"], pdf["content_dst"]
@@ -236,11 +249,15 @@ def containment_verify_grouped(
                 # probe count itself crosses the threshold (forced mode
                 # builds on first use) — most groups send only a few
                 # probes down this path, where `in` is far cheaper
-                if host_canon_sa is None and host_canon and (
+                if host_canon_sa is None and not canon_sa_failed \
+                        and host_canon and (
                     use_suffix_array is True
                     or (with_sa and canon_probes >= sa_min_probes)
                 ):
-                    host_canon_sa = _suffix_array(host_canon)
+                    try:
+                        host_canon_sa = _suffix_array(host_canon)
+                    except UnicodeEncodeError:
+                        canon_sa_failed = True  # degrade to `in` (see above)
                 small_c = _canon(small)
                 if host_canon_sa is not None:
                     canon_hit = _sa_find(host_canon, host_canon_sa, small_c) >= 0

@@ -1,27 +1,52 @@
-"""Hamming-radius search via pigeonhole bit-chunk LSH.
+"""Hamming-radius search via pigeonhole multi-block bit-chunk LSH.
 
 Distributed replacement for the reference's BK-tree radius query over
 64-bit sketches (ref: src/main/java/index/BKTreeIndex.java:34-50
 ``withinHamming`` — pointer-chasing DFS with triangle-inequality
-pruning). The distributed formulation is the pigeonhole principle:
-split the 64-bit sketch into ``radius + 1`` disjoint bit chunks — a
-pair within Hamming distance ``radius`` has at most ``radius``
-differing bits, which can touch at most ``radius`` chunks, so AT LEAST
-ONE chunk is bit-identical. Equi-joining on (chunk_id, chunk_value)
-therefore finds EVERY pair within the radius (no recall loss — this is
-exhaustive, unlike MinHash banding); ``bit_count(a XOR b) <= radius``
-verifies JVM-side (ref: hash/Hamming.java:4-6).
+pruning). The distributed formulation generalizes the pigeonhole
+principle to combination keys (the shape of Manku/Jain/Das Sarma,
+"Detecting Near-Duplicates for Web Crawling", WWW'07 §3):
+
+  split the 64-bit sketch into B = radius + m disjoint bit blocks.
+  A pair within Hamming distance ``radius`` has at most ``radius``
+  differing bits, which can touch at most ``radius`` blocks, so AT
+  LEAST m blocks are bit-identical in BOTH sketches. Enumerating all
+  C(B, m) block combinations and equi-joining on
+  (combo_id, packed combo value) therefore finds EVERY pair within
+  the radius — exhaustive, no recall loss — and
+  ``bit_count(a XOR b) <= radius`` verifies JVM-side
+  (ref: hash/Hamming.java:4-6).
+
+``m`` (``n_agree``) trades join-key selectivity against explode
+fan-out:
+
+- m=1 is classic single-chunk pigeonhole: radius+1 rows per sketch,
+  but at radius 10 the chunks are 5-6 bits (<=64 distinct values per
+  chunk), so with S distinct sketches each key holds ~S/64 rows and
+  candidate generation degenerates toward O(S^2/64).
+- m=2 at radius 10 gives 12 blocks, C(12,2)=66 combo rows per sketch
+  with 10-12-bit packed keys: ~32x more key values per combo, so the
+  expected candidate count drops ~5x on uniform sketches and far more
+  on clustered real-world sketch distributions, for a 6x explode cost.
+  The default picks m=2 whenever single chunks would be narrower than
+  10 bits (radius >= 6).
+
+Residual hot keys (e.g. an all-zero block pair across many sketches)
+are bounded by an optional salted per-key cap with drop accounting
+(``capped_sketch_keys``, mirroring operators/lsh.py ``capped_bands``);
+without the cap the operator is exact.
 
 Scale shape:
-- the chunk join runs over DISTINCT sketch values, not documents — the
+- the combo join runs over DISTINCT sketch values, not documents — the
   dominant skew source (many docs sharing one sketch, e.g. boilerplate
-  families) collapses to one row before the explode, and same-sketch
-  doc pairs are emitted by a separate cheap equi-join on the sketch;
+  families) collapses to one row before the explode; same-sketch doc
+  pairs are emitted by a separate cheap equi-join on the sketch;
 - candidate dedup is a distinct() on sketch pairs (bounded by the
-  verified output size x chunk count, not by doc pairs);
-- chunk values are 5-6 bits at radius 10; residual hot chunk values
-  (e.g. an all-zero chunk across many sketches) are AQE skew-join
-  territory — selectivity improves as radius shrinks (wider chunks).
+  verified output size x combo count, not by doc pairs);
+- for a connected-components consumer, ``hamming_edges`` emits
+  rep->member star edges per sketch group plus ONE rep-rep edge per
+  close sketch pair — linear in (docs + close sketch pairs), never
+  quadratic in group size, with identical components.
 
 Works for ANY 64-bit sketch family (SimHash, the gradient-sign family
 in functions/fingerprints.py, or an externally-computed pHash).
@@ -29,7 +54,9 @@ in functions/fingerprints.py, or an externally-computed pHash).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from itertools import combinations
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from imageduplicatefinder_spark.functions.fingerprints import hamming_distance_col
@@ -40,27 +67,149 @@ def _chunk_widths(bits: int, n_chunks: int) -> list[int]:
     return [base + 1] * rem + [base] * (n_chunks - rem)
 
 
-def sketch_chunks(sketches: DataFrame, radius: int,
-                  sketch_col: str = "simhash") -> DataFrame:
-    """(sketch, chunk_id, chunk_val) for the radius+1 pigeonhole chunks
-    of each DISTINCT sketch value. Pure JVM bit arithmetic."""
-    widths = _chunk_widths(64, radius + 1)
-    exprs = []
+def _auto_n_agree(radius: int) -> int:
+    # single chunks of >=10 bits (radius <= 5) are selective enough on
+    # their own; narrower chunks get pair-combination keys
+    return 1 if 64 // (radius + 1) >= 10 else 2
+
+
+def _block_exprs(sketch_col: str, widths: list[int]) -> list[Column]:
+    """One unsigned block value per width, LSB-first. Pure JVM bit math."""
+    exprs: list[Column] = []
     off = 0
     for w in widths:
-        # w == 64 (radius 0, one chunk): the all-ones mask as signed long
+        # w == 64 (radius 0, one block): the all-ones mask as signed long
         mask = -1 if w == 64 else (1 << w) - 1
         exprs.append(
             F.shiftrightunsigned(F.col(sketch_col), off)
             .bitwiseAND(F.lit(mask))
         )
         off += w
+    return exprs
+
+
+def sketch_keys(
+    sketches: DataFrame,
+    radius: int,
+    n_agree: int | None = None,
+    sketch_col: str = "simhash",
+) -> DataFrame:
+    """(sketch, key_id, key_val) for the C(radius+m, m) pigeonhole
+    block-combination keys of each DISTINCT sketch value.
+
+    ``key_val`` packs the m block values of the combination into one
+    long (total packed width <= 64 bits since the blocks partition the
+    sketch, so packing is collision-free).
+    """
+    m = _auto_n_agree(radius) if n_agree is None else n_agree
+    if m < 1:
+        raise ValueError(f"n_agree must be >= 1, got {m}")
+    n_blocks = radius + m
+    if n_blocks > 64:
+        raise ValueError(
+            f"radius + n_agree = {n_blocks} exceeds 64: blocks would be "
+            "empty and the join would silently lose recall"
+        )
+    widths = _chunk_widths(64, n_blocks)
+    blocks = _block_exprs("sketch", widths)
+    combo_vals: list[Column] = []
+    for combo in combinations(range(n_blocks), m):
+        packed = blocks[combo[0]]
+        for idx in combo[1:]:
+            packed = F.shiftleft(packed, widths[idx]).bitwiseOR(blocks[idx])
+        combo_vals.append(packed)
     return (
         sketches.select(F.col(sketch_col).alias("sketch"))
         .distinct()
-        .select("sketch", F.posexplode(F.array(*exprs)).alias("chunk_id",
-                                                              "chunk_val"))
+        .select(
+            "sketch",
+            F.posexplode(F.array(*combo_vals)).alias("key_id", "key_val"),
+        )
     )
+
+
+# back-compat alias for the single-chunk form (m=1, radius+1 chunks)
+def sketch_chunks(sketches: DataFrame, radius: int,
+                  sketch_col: str = "simhash") -> DataFrame:
+    """(sketch, chunk_id, chunk_val) for the radius+1 single-bit-chunk
+    pigeonhole keys — ``sketch_keys`` with n_agree=1."""
+    return sketch_keys(sketches, radius, n_agree=1, sketch_col=sketch_col)
+
+
+def capped_sketch_keys(
+    keys: DataFrame, max_key_group: int
+) -> tuple[DataFrame, DataFrame]:
+    """Salted deterministic per-key cap with drop accounting, mirroring
+    operators/lsh.py ``capped_bands``. Returns (kept_keys, key_stats).
+
+    Sketches in a (key_id, key_val) group larger than ``max_key_group``
+    are down-sampled by a deterministic hash threshold — map-side after
+    a broadcast-able hot-key join, so a mega-key never serializes onto
+    one task. Capping trades exactness for a hard candidate bound:
+    a capped group loses only candidates whose ONLY agreeing block
+    combination was the capped key; key_stats
+    (key_id, key_val, group_size, capped) makes the drop visible.
+    """
+    keys = keys.localCheckpoint(eager=False)  # scanned twice below
+    sizes = keys.groupBy("key_id", "key_val").agg(
+        F.count("*").alias("group_size")
+    )
+    stats = sizes.withColumn("capped", F.col("group_size") > max_key_group)
+    hot = sizes.filter(F.col("group_size") > max_key_group)
+    salted = keys.join(hot, on=["key_id", "key_val"], how="left")
+    kept = salted.filter(
+        F.col("group_size").isNull()
+        | (
+            F.pmod(F.xxhash64("sketch", "key_id", "key_val"),
+                   F.col("group_size"))
+            < F.lit(max_key_group)
+        )
+    ).select("sketch", "key_id", "key_val")
+    return kept, stats
+
+
+def _close_sketch_pairs(
+    sig: DataFrame,
+    radius: int,
+    n_agree: int | None,
+    max_key_group: int | None,
+) -> DataFrame:
+    """(sk_a, sk_b, hamming) over DISTINCT sketches, sk_a < sk_b,
+    0 < hamming <= radius. ``sig`` must expose a ``sketch`` column and
+    be materialized by the caller."""
+    keys = sketch_keys(sig, radius, n_agree=n_agree, sketch_col="sketch")
+    if max_key_group is not None:
+        keys, _ = capped_sketch_keys(keys, max_key_group)
+    # a self-join scans its input twice; materialize the tiny distinct
+    # sketch->key table instead of recomputing the upstream lineage
+    keys = keys.localCheckpoint(eager=False)
+    cand = (
+        keys.select("key_id", "key_val", F.col("sketch").alias("sk_a"))
+        .join(
+            keys.select("key_id", "key_val", F.col("sketch").alias("sk_b")),
+            on=["key_id", "key_val"],
+        )
+        .filter(F.col("sk_a") < F.col("sk_b"))
+        .select("sk_a", "sk_b")
+        .distinct()
+    )
+    return cand.withColumn(
+        "hamming",
+        hamming_distance_col(F.col("sk_a"), F.col("sk_b")).cast("long"),
+    ).filter(F.col("hamming") <= radius)
+
+
+def _validate_radius(radius: int) -> None:
+    if not 0 <= radius <= 31:
+        # radius >= 32 means "more than half the bits differ" — beyond
+        # any duplicate semantics — and single-bit blocks degenerate
+        # (width 0 at r>=64 would silently turn the candidate equi-join
+        # into a disguised cross join)
+        raise ValueError(
+            f"hamming radius {radius} out of range [0, 31]: pigeonhole "
+            "blocking degenerates (and the result would be meaningless "
+            "for 64-bit sketches anyway)"
+        )
 
 
 def hamming_pairs(
@@ -68,51 +217,31 @@ def hamming_pairs(
     radius: int = 10,
     id_col: str = "doc_id",
     sketch_col: str = "simhash",
+    n_agree: int | None = None,
+    max_key_group: int | None = None,
 ) -> DataFrame:
     """ALL pairs of rows within ``radius`` Hamming distance of each
-    other on a 64-bit sketch column — exhaustive (pigeonhole chunk LSH,
-    see module docstring), no cartesian product in the plan.
+    other on a 64-bit sketch column — exhaustive (pigeonhole
+    multi-block LSH, see module docstring) unless ``max_key_group``
+    caps hot keys; no cartesian product in the plan.
 
     Output: (doc_a, doc_b, hamming) with doc_a < doc_b,
     hamming = bit_count(sketch_a XOR sketch_b) <= radius.
+
+    The output is quadratic in the size of a doc family sharing one
+    sketch (all same-sketch pairs are emitted — that IS the requested
+    result). A connected-components consumer should call
+    ``hamming_edges`` instead, which stays linear per family.
     """
-    if not 0 <= radius <= 31:
-        # radius >= 32 means "more than half the bits differ" — beyond
-        # any duplicate semantics — and the chunk widths collapse
-        # (width 1 at r=31; width 0 at r>=64 would silently turn the
-        # candidate equi-join into a disguised cross join)
-        raise ValueError(
-            f"hamming radius {radius} out of range [0, 31]: pigeonhole "
-            "chunking degenerates (and the result would be meaningless "
-            "for 64-bit sketches anyway)"
-        )
+    _validate_radius(radius)
     sig = sketches.select(F.col(id_col).alias("_id"),
                           F.col(sketch_col).alias("sketch"))
-    # the sketch table is consumed five times below (chunk explode, two
+    # the sketch table is consumed five times below (key explode, two
     # doc-mapping joins, two same-sketch join sides); without a
     # materialization each consumer re-runs the upstream sketch
     # computation (measured 3x wall on the portable-simhash caller)
     sig = sig.localCheckpoint(eager=False)
-    chunks = sketch_chunks(sig, radius, sketch_col="sketch")
-    # a self-join scans its input twice; materialize the tiny distinct
-    # sketch->chunk table instead of recomputing the upstream lineage
-    chunks = chunks.localCheckpoint(eager=False)
-
-    cand = (
-        chunks.select("chunk_id", "chunk_val", F.col("sketch").alias("sk_a"))
-        .join(
-            chunks.select("chunk_id", "chunk_val",
-                          F.col("sketch").alias("sk_b")),
-            on=["chunk_id", "chunk_val"],
-        )
-        .filter(F.col("sk_a") < F.col("sk_b"))
-        .select("sk_a", "sk_b")
-        .distinct()
-    )
-    close = cand.withColumn(
-        "hamming",
-        hamming_distance_col(F.col("sk_a"), F.col("sk_b")).cast("long"),
-    ).filter(F.col("hamming") <= radius)
+    close = _close_sketch_pairs(sig, radius, n_agree, max_key_group)
 
     # map sketch pairs back to document pairs (sk_a != sk_b, so each
     # unordered doc pair appears exactly once; normalize by id)
@@ -127,7 +256,7 @@ def hamming_pairs(
             "hamming",
         )
     )
-    # same-sketch doc pairs: hamming 0, never seen by the chunk join
+    # same-sketch doc pairs: hamming 0, never seen by the key join
     same = (
         sig.alias("p")
         .join(sig.alias("q"), on="sketch")
@@ -139,3 +268,46 @@ def hamming_pairs(
         )
     )
     return diff.union(same)
+
+
+def hamming_edges(
+    sketches: DataFrame,
+    radius: int = 10,
+    id_col: str = "doc_id",
+    sketch_col: str = "simhash",
+    n_agree: int | None = None,
+    max_key_group: int | None = None,
+) -> DataFrame:
+    """Bounded edge set for a connected-components consumer: yields the
+    SAME components as ``hamming_pairs`` (cluster parity is pytest-
+    pinned) without any same-key quadratic emission.
+
+    Per distinct sketch, docs sharing it form a star rep->member
+    (rep = min doc id); each close sketch pair contributes exactly ONE
+    rep_a->rep_b edge. |edges| = (docs in >=2-doc sketch groups) +
+    (close sketch pairs) — linear per family, vs O(family^2) for the
+    all-pairs form.
+
+    Output: (src, dst) with src < dst.
+    """
+    _validate_radius(radius)
+    sig = sketches.select(F.col(id_col).alias("_id"),
+                          F.col(sketch_col).alias("sketch"))
+    sig = sig.localCheckpoint(eager=False)
+    reps = sig.groupBy("sketch").agg(F.min("_id").alias("rep_id"))
+    reps = reps.localCheckpoint(eager=False)
+    close = _close_sketch_pairs(sig, radius, n_agree, max_key_group)
+    rep_edges = (
+        close.join(reps.select(F.col("sketch").alias("sk_a"),
+                               F.col("rep_id").alias("rep_a")), on="sk_a")
+        .join(reps.select(F.col("sketch").alias("sk_b"),
+                          F.col("rep_id").alias("rep_b")), on="sk_b")
+        .select(F.least("rep_a", "rep_b").alias("src"),
+                F.greatest("rep_a", "rep_b").alias("dst"))
+    )
+    star_edges = (
+        sig.join(reps, on="sketch")
+        .filter(F.col("_id") != F.col("rep_id"))
+        .select(F.col("rep_id").alias("src"), F.col("_id").alias("dst"))
+    )
+    return rep_edges.union(star_edges)

@@ -1,0 +1,153 @@
+"""Prefix-filtering candidate generation (AllPairs/PPJoin family,
+Bayardo/Ma/Srikant WWW'07) over the pipeline's shingle sets.
+
+The third candidate scheme next to MinHash/LSH banding (probabilistic)
+and the exact inverted-index self-join (heavy): order shingles globally
+by (document frequency asc, shingle) and keep only each doc's RAREST
+``n - ceil(t*n) + 1`` shingles — any pair with Jaccard >= t provably
+shares a prefix shingle (if none of A's prefix shingles were in B,
+the intersection is at most ceil(t*n)-1 < t*n <= t*union). Exact: no
+recall knob, unlike LSH banding — which makes it the right default for
+high-threshold configs, while LSH remains the choice below the prefix
+scheme's selectivity sweet spot.
+
+The pipeline's verify rule is ``jaccard >= t_j OR containment >= t_c``
+(operators/verify.py), so exact recall needs TWO legs:
+
+- Jaccard leg: prefix-vs-prefix self-join at t_j (both members of a
+  J >= t_j pair carry a shared shingle in their prefixes — Bayardo
+  Lemma 1 applied symmetrically), then the PPJoin length filter
+  min(|A|,|B|) >= t_j * max(|A|,|B|) before verification;
+- containment leg: each doc's containment prefix (rarest
+  ``n - ceil(t_c*n) + 1`` shingles) probed against the FULL inverted
+  index — for a pair with |A∩B| >= t_c*min, the smaller side's
+  containment prefix must hit ANY shingle of the larger (pigeonhole on
+  the small side alone; the large side's probe only adds candidates).
+  No length filter applies (containment is unbounded by size ratio).
+
+Skew shape: prefix selection inverts the hot-key problem — a doc's
+prefix is its RAREST shingles, so boilerplate shingles (the mega-keys
+of a naive shingle self-join) only enter a prefix when a doc has
+almost no rare content; residual skew is AQE territory. Float
+thresholds use an epsilon-guarded ceil that can only LENGTHEN the
+prefix (extra candidates, never lost recall).
+
+ref: the reference's candidate stage is the BK-tree radius walk
+(src/main/java/index/BKTreeIndex.java:34-50); this is the set-overlap
+analog for the Jaccard/containment verify rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from imageduplicatefinder_spark.config import DedupConfig
+
+
+def _prefix_len(n: Column, threshold: float) -> Column:
+    """``n - ceil(threshold*n) + 1`` with an epsilon guard: subtracting
+    1e-9 before ceil makes the computed ceil <= the true ceil, so the
+    prefix can only come out LONGER than required (safe direction)."""
+    return (
+        n - F.ceil(F.lit(float(threshold)) * n - F.lit(1e-9)) + F.lit(1)
+    ).cast("int")
+
+
+def shingle_index(signatures: DataFrame) -> DataFrame:
+    """(doc_id, shingle, df) inverted index from the signatures table's
+    ``shingles`` column, with global document frequency attached."""
+    sh = signatures.filter(F.col("shingles").isNotNull()).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    df_tab = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    return sh.join(df_tab, on="shingle")
+
+
+def _doc_prefixes(indexed: DataFrame, threshold: float) -> DataFrame:
+    """(doc_id, shingle) keeping each doc's rarest
+    ``n - ceil(threshold*n) + 1`` shingles in global (df, shingle)
+    order. threshold=0.0 keeps everything (the exact scheme)."""
+    per_doc = indexed.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("toks")
+    )
+    p = _prefix_len(F.size("toks"), threshold)
+    return per_doc.select(
+        "doc_id",
+        F.explode(
+            F.transform(F.slice("toks", F.lit(1), p), lambda s: s["shingle"])
+        ).alias("shingle"),
+    )
+
+
+def prefix_candidates(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """(src, dst) candidate pairs, src < dst — an EXACT superset of all
+    pairs satisfying the verify rule ``jaccard >= cfg.jaccard_threshold
+    OR containment >= cfg.containment_threshold`` over the signature
+    table's shingle sets (see module docstring for the two-leg
+    guarantee). Exact duplicates are assumed collapsed upstream (the
+    pipeline's sha256 pre-pass), mirroring the LSH path.
+    """
+    indexed = shingle_index(signatures)
+    # both legs and the sizes scan reuse the exploded index; a self-join
+    # additionally scans its build twice
+    indexed = indexed.localCheckpoint(eager=False)
+    sizes = indexed.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sizes = sizes.localCheckpoint(eager=False)
+
+    # --- Jaccard leg: prefix vs prefix, then PPJoin length filter ----
+    jp = _doc_prefixes(indexed, cfg.jaccard_threshold)
+    jp = jp.localCheckpoint(eager=False)
+    jac = (
+        jp.alias("a")
+        .join(jp.alias("b"), on="shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .distinct()
+    )
+    jac = (
+        jac.join(sizes.select(F.col("doc_id").alias("src"),
+                              F.col("n").alias("n_src")), on="src")
+        .join(sizes.select(F.col("doc_id").alias("dst"),
+                           F.col("n").alias("n_dst")), on="dst")
+        .filter(
+            F.least("n_src", "n_dst")
+            >= F.lit(float(cfg.jaccard_threshold)) * F.greatest("n_src", "n_dst")
+            - F.lit(1e-9)
+        )
+        .select("src", "dst")
+    )
+
+    # --- containment leg: containment prefix vs FULL inverted index --
+    cp = _doc_prefixes(indexed, cfg.containment_threshold)
+    cont = (
+        cp.alias("p")
+        .join(indexed.select("doc_id", "shingle").alias("x"), on="shingle")
+        .filter(F.col("p.doc_id") != F.col("x.doc_id"))
+        .select(
+            F.least("p.doc_id", "x.doc_id").alias("src"),
+            F.greatest("p.doc_id", "x.doc_id").alias("dst"),
+        )
+        .distinct()
+    )
+
+    return jac.union(cont).distinct()
+
+
+def exact_candidates(signatures: DataFrame) -> DataFrame:
+    """(src, dst) for every pair sharing >= 1 shingle — the exhaustive
+    inverted-index self-join (candidate superset of ANY overlap-based
+    verify rule). Quadratic on hot shingles; for production scale use
+    ``prefix_candidates`` (exact for the pipeline rule) or LSH banding.
+    """
+    sh = signatures.filter(F.col("shingles").isNotNull()).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    sh = sh.localCheckpoint(eager=False)
+    return (
+        sh.alias("a")
+        .join(sh.alias("b"), on="shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+        .distinct()
+    )

@@ -107,12 +107,36 @@ class StageMetric:
 
 @dataclass
 class CheckpointManager:
+    """``durability``:
+
+    - "disk" (default): every stage writes a zstd parquet checkpoint
+      (resumable, per-partition lineage from footers) — the production
+      mode the north_rule requires;
+    - "memory": stages materialize via ``localCheckpoint`` (cluster
+      memory/local shuffle dirs), no parquet, no resume. For
+      benchmarking the compute path on a single box whose ONE shared
+      disk would otherwise impose a serial floor that a real cluster —
+      where checkpoint storage scales with executors — does not have.
+      Metrics still record rows/partitions per stage (one count per
+      stage against the materialized RDD, no lineage replay).
+
+    Checkpoint parquet uses zstd (not the snappy default): checkpoint
+    bytes are written once and read once, so trading CPU (which scales
+    with cores) for bytes on the non-scaling shared disk is the right
+    side of the bargain at both bench and cluster scale.
+    """
+
     spark: SparkSession
     root: str
     config_hash: str
     input_sig: str | None = None
+    durability: str = "disk"
     metrics: list[StageMetric] = field(default_factory=list)
     _pending_metric_rows: list[tuple] = field(default_factory=list)
+
+    def __post_init__(self) -> None:
+        if self.durability not in ("disk", "memory"):
+            raise ValueError(f"unknown durability {self.durability!r}")
 
     def _dir(self, stage: str) -> str:
         return os.path.join(self.root, stage, self.config_hash)
@@ -139,6 +163,22 @@ class CheckpointManager:
         either way."""
         d = self._dir(stage)
         t0 = time.monotonic()
+        if self.durability == "memory":
+            df = df_fn()
+            if num_partitions:
+                df = df.repartition(num_partitions)
+            out = df.localCheckpoint(eager=True)
+            rows = out.count()
+            n_parts = out.rdd.getNumPartitions()
+            wall = time.monotonic() - t0
+            self.metrics.append(
+                StageMetric(stage, self.config_hash, rows, n_parts, wall,
+                            False)
+            )
+            self._pending_metric_rows.append(
+                (stage, self.config_hash, -1, rows, wall, False)
+            )
+            return out
         if self.exists(stage):
             out = self.spark.read.parquet(d)
             meta = json.load(open(os.path.join(d, "_meta.json")))
@@ -154,11 +194,9 @@ class CheckpointManager:
             return out
 
         df: DataFrame = df_fn()
-        writer = df.write.mode("overwrite")
         if num_partitions:
             df = df.repartition(num_partitions)
-            writer = df.write.mode("overwrite")
-        writer.parquet(d)
+        df.write.mode("overwrite").option("compression", "zstd").parquet(d)
         out = self.spark.read.parquet(d)
 
         # per-partition lineage from the parquet footers — metadata only,

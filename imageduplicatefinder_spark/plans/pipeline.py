@@ -35,6 +35,10 @@ from imageduplicatefinder_spark.operators.lsh import (
     pairs_from_capped_bands,
 )
 from imageduplicatefinder_spark.operators.plan import clusters_table, keeper_plan
+from imageduplicatefinder_spark.operators.prefix_join import (
+    exact_candidates,
+    prefix_candidates,
+)
 from imageduplicatefinder_spark.operators.signatures import (
     add_doc_id,
     compute_signatures,
@@ -64,12 +68,18 @@ class DedupPipeline:
         spark: SparkSession,
         cfg: DedupConfig | None = None,
         checkpoint_dir: str | None = None,
+        durability: str = "disk",
     ) -> None:
+        """``durability="memory"`` materializes stages via
+        localCheckpoint instead of parquet — no resume, no disk floor;
+        see plans/checkpoint.py. The default stays the durable,
+        resumable disk mode the north_rule requires."""
         self.spark = spark
         self.cfg = cfg or DedupConfig()
         self.checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="idf_ckpt_")
         self.ckpt = CheckpointManager(spark, self.checkpoint_dir,
-                                      self.cfg.config_hash())
+                                      self.cfg.config_hash(),
+                                      durability=durability)
 
     def run(self, documents: DataFrame, langs: list[str] | None = None) -> PipelineResult:
         cfg = self.cfg
@@ -130,28 +140,41 @@ class DedupPipeline:
 
         signatures = self.ckpt.materialize("signatures", build_signatures)
 
-        # capped-band drop accounting is DURABLE: the hot-band stats ride
-        # as their own (tiny) checkpoint so an operator investigating
-        # missed duplicates can see which bands were down-sampled
-        _stats_holder: dict = {}
+        if cfg.candidates == "lsh":
+            # capped-band drop accounting is DURABLE: the hot-band stats
+            # ride as their own (tiny) checkpoint so an operator
+            # investigating missed duplicates can see which bands were
+            # down-sampled
+            _stats_holder: dict = {}
 
-        def build_bands() -> DataFrame:
-            kept, stats = capped_bands(band_table(signatures, cfg), cfg)
-            _stats_holder["stats"] = stats
-            return kept
+            def build_bands() -> DataFrame:
+                kept, stats = capped_bands(band_table(signatures, cfg), cfg)
+                _stats_holder["stats"] = stats
+                return kept
 
-        bands = self.ckpt.materialize("bands", build_bands)
-        self.ckpt.materialize(
-            "band_stats",
-            lambda: (
-                _stats_holder["stats"]
-                if "stats" in _stats_holder
-                else capped_bands(band_table(signatures, cfg), cfg)[1]
-            ).filter(F.col("capped")),
-        )
-        cands = self.ckpt.materialize(
-            "candidates", lambda: pairs_from_capped_bands(bands)
-        )
+            bands = self.ckpt.materialize("bands", build_bands)
+            self.ckpt.materialize(
+                "band_stats",
+                lambda: (
+                    _stats_holder["stats"]
+                    if "stats" in _stats_holder
+                    else capped_bands(band_table(signatures, cfg), cfg)[1]
+                ).filter(F.col("capped")),
+            )
+            cands = self.ckpt.materialize(
+                "candidates", lambda: pairs_from_capped_bands(bands)
+            )
+        elif cfg.candidates == "prefix":
+            # AllPairs/PPJoin prefix filtering: EXACT for the verify
+            # rule (no recall knob), deterministic — the high-threshold
+            # default; no band stage, no drop accounting to record
+            cands = self.ckpt.materialize(
+                "candidates", lambda: prefix_candidates(signatures, cfg)
+            )
+        else:  # "exact": exhaustive inverted-index self-join
+            cands = self.ckpt.materialize(
+                "candidates", lambda: exact_candidates(signatures)
+            )
         verified = self.ckpt.materialize(
             "edges",
             lambda: verify_pairs(cands, signatures, cfg).filter(F.col("verified")),

@@ -1302,7 +1302,14 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     with identical semantics in Java regex and RE2 so the redacted text
     itself is value-hash checked cross-engine, not just the counts.
     Row-local Catalyst expressions — single scan, no shuffle, no
-    Python."""
+    Python.
+
+    The n_* counts are RAW-TEXT occurrences of each pattern, counted
+    independently on the original text; redaction is sequential
+    (email -> ip -> hex), so an overlapping match (e.g. a >=32-char
+    hex local-part inside an email) is counted under n_hex_secrets but
+    redacted as <EMAIL> — counts do not necessarily equal the number
+    of placeholders inserted. Identical semantics in both engines."""
     docs = load_table(spark, sf_dir, "documents")
     t = F.coalesce(F.col("text"), F.lit(""))
     redacted = F.regexp_replace(

@@ -176,3 +176,39 @@ def test_canon_is_explicit_ascii_whitespace_only(spark):
     assert _canon("  x  ") == "x"
     assert _canon("a\x0bb") == "a\x0bb"      # vertical tab preserved
     assert _canon("a\xa0b") == "a\xa0b"      # NBSP preserved
+
+
+def test_use_suffix_array_rejects_bad_mode(spark):
+    """A misspelled mode ("force", "true") must raise, not silently
+    fall through to the find() path."""
+    import pytest as _pytest
+
+    from imageduplicatefinder_spark.operators.containment import (
+        containment_verify_grouped,
+    )
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, content string")
+    pairs = spark.createDataFrame([(1, 1)], "src long, dst long")
+    with _pytest.raises(ValueError, match="use_suffix_array"):
+        containment_verify_grouped(pairs, docs, use_suffix_array="force")
+
+
+def test_lone_surrogate_host_degrades_to_find(spark):
+    """A host string containing a lone surrogate breaks the utf-32
+    encode behind the suffix array; the probe must degrade to find()
+    instead of aborting the task (str.find handles surrogates fine)."""
+    from imageduplicatefinder_spark.operators.containment import (
+        containment_verify_grouped,
+    )
+
+    host = "prefix \ud800 alpha beta suffix"
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, host), (3, "missing")],
+        "doc_id long, content string",
+    )
+    pairs = spark.createDataFrame([(1, 2), (3, 2)], "src long, dst long")
+    got = {(r.src, r.dst): (r.contained, r.offset)
+           for r in containment_verify_grouped(
+               pairs, docs, use_suffix_array=True).collect()}
+    assert got[(1, 2)] == (True, host.find("alpha beta"))
+    assert got[(3, 2)] == (False, -1)

@@ -9,8 +9,12 @@ from pyspark.sql import functions as F
 
 from imageduplicatefinder_spark.functions.fingerprints import hamming_distance_col
 from imageduplicatefinder_spark.operators.hamming_lsh import (
+    _auto_n_agree,
     _chunk_widths,
+    capped_sketch_keys,
+    hamming_edges,
     hamming_pairs,
+    sketch_keys,
 )
 
 
@@ -69,9 +73,94 @@ def test_hamming_pairs_equals_brute_force(spark, sketches, radius):
     assert got == _brute(spark, sketches, radius)
 
 
-def test_hamming_pairs_plan_has_no_cartesian(spark, sketches):
+@pytest.mark.parametrize("radius,n_agree", [(10, 1), (10, 2), (10, 3), (3, 2)])
+def test_multi_block_keys_stay_exhaustive(spark, sketches, radius, n_agree):
+    """Manku-style C(radius+m, m) combination keys find exactly the
+    brute-force pair set for every m (the pigeonhole guarantee)."""
+    got = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in hamming_pairs(sketches, radius=radius,
+                               n_agree=n_agree).collect()
+    }
+    assert got == _brute(spark, sketches, radius)
+
+
+def test_auto_n_agree_policy():
+    # single chunks stay selective (>=10 bits) up to radius 5
+    assert all(_auto_n_agree(r) == 1 for r in range(6))
+    assert all(_auto_n_agree(r) == 2 for r in (6, 10, 31))
+
+
+def test_multi_block_keys_are_more_selective(spark, sketches):
+    """The point of m=2 at radius 10: far more distinct join-key values
+    than the <=64-per-chunk single-chunk scheme."""
+    k1 = sketch_keys(sketches, 10, n_agree=1, sketch_col="simhash")
+    k2 = sketch_keys(sketches, 10, n_agree=2, sketch_col="simhash")
+    # values per key position: m=1 chunks hold <= 64 distinct values
+    v1 = k1.groupBy("key_id").agg(
+        F.count_distinct("key_val").alias("v")).agg(F.max("v")).collect()[0][0]
+    assert v1 <= 64
+    # m=2 packed keys are 10-12 bits -> far beyond 64 possible values;
+    # on this corpus nearly every sketch gets a unique value per combo
+    n_sketches = sketches.select("simhash").distinct().count()
+    v2 = k2.groupBy("key_id").agg(
+        F.count_distinct("key_val").alias("v")).agg(F.min("v")).collect()[0][0]
+    assert v2 > 64 or v2 >= n_sketches * 0.9
+
+
+def test_capped_sketch_keys_accounting(spark):
+    """A mega-key gets down-sampled to ~cap with capped=true stats;
+    small keys pass through untouched."""
+    # 200 sketches that all share block pattern 0 in the low bits would
+    # be contrived; instead cap aggressively so every key is hot
+    rows = [(i, i << 40) for i in range(50)]  # low 40 bits identical (0)
+    df = spark.createDataFrame(rows, "doc_id long, simhash long")
+    keys = sketch_keys(df, 10, n_agree=2, sketch_col="simhash")
+    kept, stats = capped_sketch_keys(keys, max_key_group=5)
+    hot = stats.filter(F.col("capped")).count()
+    assert hot > 0  # low-bit block combos are shared by all 50 sketches
+    # kept size per hot key is ~cap (salted threshold keeps ~cap rows)
+    per_key = (
+        kept.groupBy("key_id", "key_val").count()
+        .agg(F.max("count")).collect()[0][0]
+    )
+    assert per_key <= 15  # ~5 expected, deterministic hash variance bound
+    # determinism: same input -> same kept set
+    kept2, _ = capped_sketch_keys(keys, max_key_group=5)
+    assert sorted(map(tuple, kept.collect())) == sorted(
+        map(tuple, kept2.collect()))
+
+
+def test_hamming_edges_cluster_parity(spark, sketches):
+    """Star-edge emission yields the SAME connected components as the
+    all-pairs form, with linear (not quadratic) same-sketch output."""
+    from imageduplicatefinder_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs = hamming_pairs(sketches, radius=10).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = hamming_edges(sketches, radius=10)
+
+    def comps(e):
+        rows = connected_components(e).collect()
+        by_cluster = {}
+        for r in rows:
+            by_cluster.setdefault(r.cluster_id, set()).add(r.doc_id)
+        return {frozenset(v) for v in by_cluster.values()}
+
+    assert comps(pairs) == comps(edges)
+    # the 3-doc same-sketch family (base + 2000 + 2001) emits 3 pairs
+    # in the all-pairs form but only 2 star edges here
+    n_same_pairs = pairs.join(
+        edges, on=["src", "dst"], how="left_anti").count()
+    assert edges.count() < pairs.count() or n_same_pairs == 0
+
+
+@pytest.mark.parametrize("n_agree", [1, 2])
+def test_hamming_pairs_plan_has_no_cartesian(spark, sketches, n_agree):
     plan = (
-        hamming_pairs(sketches, radius=10)
+        hamming_pairs(sketches, radius=10, n_agree=n_agree)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()

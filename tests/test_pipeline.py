@@ -239,3 +239,61 @@ def test_pipeline_langs_filter_restricts_corpus(spark, tmp_path):
     ).run(docs, langs=["py"])
     paths = {r.path for r in res.plan.collect()}
     assert paths == {"a.py", "b.py"}  # go docs never enter the pipeline
+
+
+@pytest.mark.parametrize("scheme", ["prefix", "exact"])
+def test_pipeline_candidate_scheme_recall(spark, corpus, scheme):
+    """candidates="prefix" (AllPairs/PPJoin, exact for the verify rule)
+    and candidates="exact" (inverted-index self-join) must reach the
+    same recall/precision bar as the LSH default on the planted
+    corpus — prefix filtering has NO recall knob, so anything below
+    1.0 recall here is a prefix-length bug, not tuning."""
+    df = corpus_to_dataframe(spark, corpus)
+    pipe = DedupPipeline(
+        spark, DedupConfig(candidates=scheme),
+        checkpoint_dir=tempfile.mkdtemp(),
+    )
+    res = pipe.run(df)
+    found = _found_pairs(res)
+    tp = corpus.true_pairs
+    recall = len(found & tp) / len(tp)
+    precision = len(found & tp) / len(found)
+    assert recall >= 0.99, f"{scheme} recall {recall}"
+    assert precision >= 0.99, f"{scheme} precision {precision}"
+
+
+def test_candidates_scheme_config_hash():
+    """Non-default candidate schemes must invalidate checkpoints
+    (different pair semantics); the "lsh" default must hash identically
+    to the pre-knob format so existing checkpoints stay valid."""
+    lsh = DedupConfig().config_hash()
+    assert DedupConfig(candidates="prefix").config_hash() != lsh
+    assert DedupConfig(candidates="exact").config_hash() != lsh
+    assert DedupConfig(candidates="lsh").config_hash() == lsh
+    with pytest.raises(ValueError):
+        DedupConfig(candidates="minhash")
+
+
+def test_pipeline_memory_durability_matches_disk(spark, corpus):
+    """durability="memory" (localCheckpoint stages, no parquet) must
+    produce the identical plan to the durable disk mode — it changes
+    WHERE stages materialize, never what they compute."""
+    df = corpus_to_dataframe(spark, corpus)
+    disk = DedupPipeline(
+        spark, DedupConfig(), checkpoint_dir=tempfile.mkdtemp()
+    ).run(df)
+    mem_pipe = DedupPipeline(
+        spark, DedupConfig(), checkpoint_dir=tempfile.mkdtemp(),
+        durability="memory",
+    )
+    mem = mem_pipe.run(df)
+    d = {(r.cluster_id, r.path, r.action) for r in disk.plan.collect()}
+    m = {(r.cluster_id, r.path, r.action) for r in mem.plan.collect()}
+    assert d == m and len(d) > 0
+    # metrics still recorded per stage, none marked reused
+    assert len(mem_pipe.ckpt.metrics) > 0
+    assert not any(s.reused for s in mem_pipe.ckpt.metrics)
+    with pytest.raises(ValueError):
+        DedupPipeline(spark, DedupConfig(),
+                      checkpoint_dir=tempfile.mkdtemp(),
+                      durability="ram")
