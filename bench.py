@@ -127,6 +127,7 @@ def main() -> None:
         "ann_cosine_topk",
         "embedding_near_dup_pairs",
         "simhash_hamming_pairs",
+        "simhash_radius_clusters",
         "near_dup_clusters_exact",
         "duplicate_ngram_coverage",
         "chunk_dedup_corpus",

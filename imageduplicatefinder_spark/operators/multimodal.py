@@ -3,12 +3,17 @@ with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The reference decodes images with ImageIO + EXIF normalization
 (ref: src/main/java/core/ImageLoader.java:7-12, core/Exif.java:62-75)
-before hashing. This container has no image/audio codecs, so the decode
-kernel is STUBBED: ``decode="fake"`` produces a deterministic feature
-vector derived from the bytes (so the Spark-side plumbing — schema,
-partitioning, UDF signature, Arrow batch shape — is fully real and
-tested), while ``decode="real"`` raises NotImplementedError where a
-PIL/ffmpeg call would go.
+before hashing. ``decode="real"`` is import-guarded on PIL: when
+Pillow is installed it decodes, EXIF-transposes, grayscales and
+resizes to an 8x8 luminance block (64 floats — exactly the block
+``phash64`` consumes, so the black-image -> sketch 0 / constant-image
+-> sketch 1 reference goldens hold end-to-end,
+ref: src/test/java/hash/PHashDctTest.java:49-99); without PIL it
+raises NotImplementedError (this container ships no codecs — the
+gate is honest, and the PIL tests skip). ``decode="fake"`` produces a
+deterministic feature vector derived from the bytes so the Spark-side
+plumbing — schema, partitioning, UDF signature, Arrow batch shape —
+is fully real and tested everywhere.
 
 Schema conventions:
     media table:    id:long, kind:string, meta:struct<...>, data:binary
@@ -27,9 +32,21 @@ from pyspark.sql import functions as F
 
 FEATURE_DIM = 32
 
+#: real-decode feature length: an 8x8 grayscale block, row-major —
+#: the exact input shape of phash64 (no padding/trim on this path)
+REAL_FEATURE_DIM = 64
+
 FEATURES_SCHEMA = (
     "id long, kind string, width int, height int, feature array<float>"
 )
+
+try:  # optional codec dependency — absent in the test container
+    from PIL import Image as _PILImage  # noqa: N813
+
+    HAS_PIL = True
+except ImportError:  # pragma: no cover - exercised when PIL installed
+    _PILImage = None
+    HAS_PIL = False
 
 
 def _fake_decode(data: bytes) -> tuple[int, int, np.ndarray]:
@@ -48,26 +65,56 @@ def _fake_decode(data: bytes) -> tuple[int, int, np.ndarray]:
     return width, height, feature
 
 
+def _real_decode(data: bytes) -> tuple[int, int, np.ndarray]:
+    """PIL decode (ref: core/ImageLoader.java:7-12): EXIF-orientation
+    normalize (ref: core/Exif.java:62-75), luminance convert
+    (ref: core/Gray.java:6-10), resize to the 8x8 block phash64 hashes
+    (ref: core/Resize.java:6-13). A malformed payload degrades to the
+    (0, 0, zeros) degenerate row — the per-file error-skip analog
+    (ref: app/Commands.java:76-84) — instead of failing the task."""
+    import io
+
+    from PIL import ImageOps
+
+    if data is None or len(data) == 0:
+        return 0, 0, np.zeros(REAL_FEATURE_DIM, dtype=np.float32)
+    try:
+        img = _PILImage.open(io.BytesIO(bytes(data)))
+        img = ImageOps.exif_transpose(img)
+        width, height = img.size
+        block = img.convert("L").resize((8, 8), _PILImage.BILINEAR)
+        feature = np.asarray(block, dtype=np.float32).reshape(
+            REAL_FEATURE_DIM
+        )
+        return width, height, feature
+    except Exception:  # noqa: BLE001 - decode errors are per-row data errors
+        return 0, 0, np.zeros(REAL_FEATURE_DIM, dtype=np.float32)
+
+
 def extract_features(media: DataFrame, decode: str = "fake") -> DataFrame:
     """media(id, kind, data:binary) -> per-item feature rows.
 
-    ``mapInPandas`` so one Arrow batch is one numpy workload; a real
-    deployment swaps ``_fake_decode`` for the codec call and nothing
-    else changes (same schema, same batching, same partitioning).
+    ``mapInPandas`` so one Arrow batch is one numpy workload;
+    ``decode="real"`` (needs Pillow) and ``decode="fake"`` share the
+    schema, batching and partitioning — only the per-row kernel
+    differs.
     """
     if decode not in ("fake", "real"):
         raise ValueError(f"unknown decode mode {decode!r}")
+    if decode == "real" and not HAS_PIL:
+        # raise at PLAN time, driver-side: an executor-side surprise
+        # after a long upstream job would be strictly worse
+        raise NotImplementedError(
+            "decode='real' requires Pillow, which is not installed in "
+            "this environment; use decode='fake' for plumbing tests"
+        )
+    kernel = _real_decode if decode == "real" else _fake_decode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decode == "real":
-                raise NotImplementedError(
-                    "real media decode requires PIL/ffmpeg, absent in this "
-                    "container; use decode='fake' for plumbing tests"
-                )
             out = {"id": [], "kind": [], "width": [], "height": [], "feature": []}
             for _id, kind, data in zip(pdf["id"], pdf["kind"], pdf["data"]):
-                w, h, feat = _fake_decode(data)
+                w, h, feat = kernel(data)
                 out["id"].append(_id)
                 out["kind"].append(kind)
                 out["width"].append(w)

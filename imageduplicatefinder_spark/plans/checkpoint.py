@@ -167,7 +167,10 @@ class CheckpointManager:
             df = df_fn()
             if num_partitions:
                 df = df.repartition(num_partitions)
-            out = df.localCheckpoint(eager=True)
+            # lazy checkpoint + count: the count IS the materializing
+            # action, so the stage runs ONE job and one data pass
+            # (eager=True + count would serialize the partitions twice)
+            out = df.localCheckpoint(eager=False)
             rows = out.count()
             n_parts = out.rdd.getNumPartitions()
             wall = time.monotonic() - t0

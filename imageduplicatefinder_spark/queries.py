@@ -2389,6 +2389,56 @@ SQL_SIMHASH_HAMMING_PAIRS = SQL_SIMHASH_HAMMING_PAIRS_TEMPLATE.format(
 )
 
 
+def q_simhash_radius_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full ``idf cluster`` shape — hash every file,
+    group by Hamming radius, emit BFS clusters
+    (ref: app/Commands.java:104-160, index/BKTreeIndex.java:34-50,
+    cluster/Clusterer.java:6-30) — in its SQL-checkable form: portable
+    SimHash sketches, radius-10 edges from the BOUNDED
+    ``hamming_edges`` emitter (multi-block pigeonhole combination keys;
+    rep->member star edges per same-sketch family + one rep-rep edge
+    per close sketch pair — never quadratic in family size), min-label
+    connected components, member counts. Every emitted node has >= 1
+    edge, so clusters have >= 2 members by construction (the
+    reference's singleton drop, Commands.java:149-151).
+    """
+    from imageduplicatefinder_spark.operators.components import (
+        connected_components,
+    )
+    from imageduplicatefinder_spark.operators.hamming_lsh import hamming_edges
+
+    docs = load_table(spark, sf_dir, "documents")
+    sim = _portable_simhash(docs)
+    edges = hamming_edges(sim, radius=10, id_col="doc_id",
+                          sketch_col="simhash")
+    comps = connected_components(edges)
+    sizes = comps.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
+    return comps.join(sizes, on="cluster_id").select(
+        "cluster_id", "doc_id", "n_members"
+    )
+
+
+SQL_SIMHASH_RADIUS_CLUSTERS = f"""
+WITH RECURSIVE {_simhash_cte()},
+edges AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+),
+sym AS (SELECT doc_a AS a, doc_b AS b FROM edges
+        UNION ALL SELECT doc_b, doc_a FROM edges),
+reach(node, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym) t
+  UNION
+  SELECT reach.node, sym.b FROM reach JOIN sym ON reach.r = sym.a
+),
+labels AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+csz AS (SELECT cluster_id, count(*) AS n_members FROM labels GROUP BY cluster_id)
+SELECT l.cluster_id, l.doc_id, csz.n_members
+FROM labels l JOIN csz USING (cluster_id)
+"""
+
+
 def _exact_edge_clusters(spark: SparkSession, sf_dir: str, cc_fn) -> DataFrame:
     """Shared body of the two cluster-oracle queries: exact n-gram
     Jaccard edges -> the given CC implementation -> sized members."""
@@ -2841,6 +2891,7 @@ QUERIES: dict[str, QueryFn] = {
     # dedup via sketch + Hamming LSH (oracle: portable sketches in SQL)
     "simhash_hamming_pairs": q_simhash_hamming_pairs,
     "gradsign_hamming_pairs_portable": q_gradsign_hamming_pairs_portable,
+    "simhash_radius_clusters": q_simhash_radius_clusters,
     # text analysis
     "token_stats": q_token_stats,
     "quality_scores": q_quality_scores,
@@ -2877,10 +2928,10 @@ QUERIES: dict[str, QueryFn] = {
     "user_sessions": q_user_sessions,
     "repeat_customers_setops": q_repeat_customers_setops,
     "customers_without_orders": q_customers_without_orders,
-    "region_customer_rollup": q_region_customer_rollup,
     # --- driver window boundary (~50) ---------------------------------
     # relational demos past the window: still oracled + checked by
     # tools/check_oracles.py, redundant with the in-window set above
+    "region_customer_rollup": q_region_customer_rollup,
     "top_orders_by_revenue": q_top_orders_by_revenue,
     "brand_revenue": q_brand_revenue,
     "events_rollup": q_events_rollup,
@@ -2912,6 +2963,7 @@ ORACLES: dict[str, str] = {
     "near_dup_clusters_star": SQL_NEAR_DUP_CLUSTERS_EXACT,
     "simhash_hamming_pairs": SQL_SIMHASH_HAMMING_PAIRS,
     "gradsign_hamming_pairs_portable": SQL_GRADSIGN_HAMMING_PAIRS_PORTABLE,
+    "simhash_radius_clusters": SQL_SIMHASH_RADIUS_CLUSTERS,
     "ann_lsh_bucketed": SQL_ANN_LSH_BUCKETED,
     "token_stats": SQL_TOKEN_STATS,
     "quality_scores": SQL_QUALITY_SCORES,

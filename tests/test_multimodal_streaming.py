@@ -40,8 +40,59 @@ def test_extract_features_schema_and_determinism(spark, media):
 
 
 def test_extract_features_real_decode_is_gated(spark, media):
-    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
-        extract_features(media, decode="real").collect()
+    from imageduplicatefinder_spark.operators.multimodal import HAS_PIL
+
+    if HAS_PIL:
+        pytest.skip("PIL installed: the real path is live, gate inactive")
+    # without PIL the gate must fire at PLAN time (driver-side), not as
+    # an executor surprise after upstream work
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        extract_features(media, decode="real")
+
+
+def _png_bytes(color: int, size: int = 32) -> bytes:
+    import io
+
+    from PIL import Image
+
+    img = Image.new("L", (size, size), color=color)
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return buf.getvalue()
+
+
+@pytest.mark.skipif(
+    not __import__(
+        "imageduplicatefinder_spark.operators.multimodal",
+        fromlist=["HAS_PIL"],
+    ).HAS_PIL,
+    reason="Pillow not installed",
+)
+def test_real_decode_phash_reference_goldens(spark):
+    """With PIL present, decode="real" + phash64 must reproduce the
+    reference's pHash goldens on real 32x32 images: black -> sketch 0,
+    constant non-zero -> sketch 1 (DC bit only)
+    (ref: src/test/java/hash/PHashDctTest.java:49-99)."""
+    from imageduplicatefinder_spark.operators.multimodal import (
+        REAL_FEATURE_DIM,
+        phash64,
+    )
+
+    rows = [
+        (1, "image", _png_bytes(0)),      # black
+        (2, "image", _png_bytes(200)),    # constant non-zero
+        (3, "image", b"not an image"),    # malformed -> degenerate row
+    ]
+    media = spark.createDataFrame(rows, "id long, kind string, data binary")
+    feats = extract_features(media, decode="real")
+    frows = {r.id: r for r in feats.collect()}
+    assert len(frows[1].feature) == REAL_FEATURE_DIM
+    assert frows[1].width == 32 and frows[1].height == 32
+    assert frows[3] .width == 0 and frows[3].feature == [0.0] * REAL_FEATURE_DIM
+    hashes = {r.id: r.phash for r in phash64(feats).collect()}
+    assert hashes[1] == 0     # black golden
+    assert hashes[2] == 1     # constant golden (DC bit only)
+    assert hashes[3] == 0     # degenerate row behaves like black
 
 
 def test_frame_sample_cardinality(spark, media):

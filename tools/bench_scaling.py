@@ -29,16 +29,32 @@ import sys
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
 
 
+def _cpu_ticks() -> tuple[int, int]:
+    """(steal_ticks, total_ticks) from /proc/stat — the hypervisor
+    steal counter. A leg with high steal%% ran while the SHARED HOST
+    (invisible to this VM's load average) was busy; its wall is
+    degraded through no fault of the engine."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(v) for v in parts[1:]]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
 def _run_once(cpus: int, sf_dir: str) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
+    s0, t0 = _cpu_ticks()
     out = subprocess.run(
         [sys.executable, "bench.py"], env=env, capture_output=True, text=True,
         check=True, timeout=3000,
     )
+    s1, t1 = _cpu_ticks()
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    rec = json.loads(line)
+    rec["steal_pct"] = round(100.0 * (s1 - s0) / max(t1 - t0, 1), 2)
+    return rec
 
 
 def run(cpus: int, sf_dir: str) -> dict:
@@ -46,6 +62,7 @@ def run(cpus: int, sf_dir: str) -> dict:
     key = next(k for k in runs[0]["queries"] if k.startswith("dedup_pipeline"))
     best = min(runs, key=lambda r: r["queries"][key])
     best["all_walls"] = [r["queries"][key] for r in runs]
+    best["all_steal_pct"] = [r.get("steal_pct") for r in runs]
     return best
 
 
@@ -69,12 +86,14 @@ def main() -> None:
             "rows_per_sec": round(r_low["pipeline_docs"] / t_low, 1),
             "total_s": r_low["value"],
             "all_walls": r_low["all_walls"],
+            "all_steal_pct": r_low["all_steal_pct"],
         },
         f"local{n_high}": {
             "wall_s": t_high,
             "rows_per_sec": round(r_high["pipeline_docs"] / t_high, 1),
             "total_s": r_high["value"],
             "all_walls": r_high["all_walls"],
+            "all_steal_pct": r_high["all_steal_pct"],
         },
         "parallelism_factor": factor,
         "speedup": round(speedup, 3),
