@@ -67,10 +67,30 @@ def _chunk_widths(bits: int, n_chunks: int) -> list[int]:
     return [base + 1] * rem + [base] * (n_chunks - rem)
 
 
-def _auto_n_agree(radius: int) -> int:
+#: distinct-sketch count above which the auto policy switches to m=2
+#: block-pair keys. The two schemes trade OPPOSITE failure modes: with
+#: S dispersed sketches, random chunk collisions cost ~0.203*S^2/2
+#: candidates at m=1 vs ~0.04*S^2/2 at m=2 (5x less); but each TRUE
+#: close pair (hamming<=10) duplicates into ~C(12-k,2)~45-66 combo
+#: keys at m=2 vs ~11-k~9 chunks at m=1 (~5x more pre-distinct join
+#: output). m=2 wins when S^2 collisions dominate true pairs —
+#: measured: 4 971 clustered sketches (sf0.1) m=1 3.1 s vs m=2 8.1 s;
+#: 64 k dispersed sketches m=1 416M candidates vs m=2 91M (BENCH.md
+#: round 3). 50 000 puts the switch where the S^2 term dominates any
+#: plausible true-pair density.
+AUTO_M2_MIN_SKETCHES = 50_000
+
+
+def _auto_n_agree(radius: int, n_sketches: int | None = None) -> int:
     # single chunks of >=10 bits (radius <= 5) are selective enough on
-    # their own; narrower chunks get pair-combination keys
-    return 1 if 64 // (radius + 1) >= 10 else 2
+    # their own; narrower chunks get pair-combination keys — but only
+    # once the corpus is large enough that dispersed-pair collisions
+    # (the S^2 term) dominate close-pair key duplication (see above)
+    if 64 // (radius + 1) >= 10:
+        return 1
+    if n_sketches is not None and n_sketches < AUTO_M2_MIN_SKETCHES:
+        return 1
+    return 2
 
 
 def _block_exprs(sketch_col: str, widths: list[int]) -> list[Column]:
@@ -93,15 +113,18 @@ def sketch_keys(
     radius: int,
     n_agree: int | None = None,
     sketch_col: str = "simhash",
+    n_sketches: int | None = None,
 ) -> DataFrame:
     """(sketch, key_id, key_val) for the C(radius+m, m) pigeonhole
     block-combination keys of each DISTINCT sketch value.
 
     ``key_val`` packs the m block values of the combination into one
     long (total packed width <= 64 bits since the blocks partition the
-    sketch, so packing is collision-free).
+    sketch, so packing is collision-free). ``n_sketches`` (the distinct
+    sketch count, if the caller knows it) steers the auto m policy —
+    see ``AUTO_M2_MIN_SKETCHES``.
     """
-    m = _auto_n_agree(radius) if n_agree is None else n_agree
+    m = _auto_n_agree(radius, n_sketches) if n_agree is None else n_agree
     if m < 1:
         raise ValueError(f"n_agree must be >= 1, got {m}")
     n_blocks = radius + m
@@ -177,7 +200,16 @@ def _close_sketch_pairs(
     """(sk_a, sk_b, hamming) over DISTINCT sketches, sk_a < sk_b,
     0 < hamming <= radius. ``sig`` must expose a ``sketch`` column and
     be materialized by the caller."""
-    keys = sketch_keys(sig, radius, n_agree=n_agree, sketch_col="sketch")
+    n_sk = None
+    src = sig
+    if n_agree is None and 64 // (radius + 1) < 10:
+        # auto policy needs the distinct-sketch count (one cheap
+        # fixed-width count job, AQE-style runtime stats); the distinct
+        # frame is materialized and reused by the key explode
+        src = sig.select("sketch").distinct().localCheckpoint(eager=False)
+        n_sk = src.count()
+    keys = sketch_keys(src, radius, n_agree=n_agree, sketch_col="sketch",
+                       n_sketches=n_sk)
     if max_key_group is not None:
         keys, _ = capped_sketch_keys(keys, max_key_group)
     # a self-join scans its input twice; materialize the tiny distinct

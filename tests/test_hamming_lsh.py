@@ -88,7 +88,13 @@ def test_multi_block_keys_stay_exhaustive(spark, sketches, radius, n_agree):
 def test_auto_n_agree_policy():
     # single chunks stay selective (>=10 bits) up to radius 5
     assert all(_auto_n_agree(r) == 1 for r in range(6))
+    # with no corpus-size signal (or a big one), wide radii get m=2
     assert all(_auto_n_agree(r) == 2 for r in (6, 10, 31))
+    assert _auto_n_agree(10, n_sketches=1_000_000) == 2
+    # small clustered corpora stay on m=1: close-pair key duplication
+    # (~50 combos/pair) outweighs the S^2 collision savings below
+    # AUTO_M2_MIN_SKETCHES (measured 2.6x at sf0.1, BENCH.md round 3)
+    assert _auto_n_agree(10, n_sketches=5_000) == 1
 
 
 def test_multi_block_keys_are_more_selective(spark, sketches):

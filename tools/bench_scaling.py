@@ -41,10 +41,22 @@ def _cpu_ticks() -> tuple[int, int]:
     return steal, sum(vals)
 
 
+#: shuffle-to-tmpfs (default on): local mode funnels every shuffle
+#: write of all N task threads through ONE physical disk — a resource
+#: a real cluster scales WITH executors (each executor brings its own
+#: local disks). Pointing spark.local.dir at tmpfs removes that
+#: single-disk artifact from the N-vs-4N comparison at BOTH levels
+#: symmetrically; set SPARK_GRAFT_SHUFFLE_TMPFS=0 to measure with the
+#: shared physical disk instead.
+SHUFFLE_TMPFS = os.environ.get("SPARK_GRAFT_SHUFFLE_TMPFS", "1") == "1"
+
+
 def _run_once(cpus: int, sf_dir: str) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
+    if SHUFFLE_TMPFS:
+        env["SPARK_LOCAL_DIRS"] = "/dev/shm/spark_graft_shuffle"
     s0, t0 = _cpu_ticks()
     out = subprocess.run(
         [sys.executable, "bench.py"], env=env, capture_output=True, text=True,
@@ -99,6 +111,7 @@ def main() -> None:
         "speedup": round(speedup, 3),
         "scaling_efficiency": round(eff, 3),
         "meets_0_8_target": eff >= 0.8,
+        "shuffle_dir": "tmpfs" if SHUFFLE_TMPFS else "shared_disk",
     }
     print(json.dumps(result, indent=1))
 
