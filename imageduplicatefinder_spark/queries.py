@@ -1373,6 +1373,224 @@ FROM documents
 """
 
 
+def q_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style unigram log-probability quality score (Wenzek et al.
+    2020 use an LM perplexity; the unigram corpus model is its cheap
+    first tier): score(d) = mean over tokens of log10 P(tok), with
+    P(tok) = corpus_count(tok) / corpus_tokens. Low mean logprob ==
+    rare/garbled vocabulary == low quality.
+
+    Cross-engine exactness: floating log10 is floored to MILLI units
+    PER VALUE (log10 of an integer count — engines agree to the last
+    ulp except exactly at integer milli boundaries, which log10 of an
+    integer never hits: 1000*log10(n) is irrational unless n is a
+    power of 10, where IEEE log10 is exact), then all downstream
+    arithmetic is integer, so summation order cannot perturb the hash.
+
+    100 TB: the token explode is the corpus itself (linear); the
+    counts join keys on the token string whose frequency distribution
+    is Zipfian — the per-(doc, token) pre-aggregation below bounds the
+    join fan-out to distinct (doc, token) pairs and AQE's skew-join
+    splits the 'the'-sized probe keys. The vocabulary aggregate is a
+    plain map-side-combined groupBy; the grand total is one scalar
+    broadcast back."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(_words()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    counts = tf.groupBy("tok").agg(F.sum("tf").alias("ct"))
+    total = counts.agg(F.sum("ct").alias("n_total"))
+    log_ct_milli = F.floor(F.log10(F.col("ct").cast("double")) * 1000).cast(
+        "long"
+    )
+    log_total_milli = F.floor(
+        F.log10(F.col("n_total").cast("double")) * 1000
+    ).cast("long")
+    scored = (
+        tf.join(counts.select("tok", log_ct_milli.alias("lcm")), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * F.col("lcm")).alias("sum_log_ct_milli"),
+        )
+    )
+    return (
+        scored.crossJoin(F.broadcast(total.select(log_total_milli.alias("ltm"))))
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("sum_log_ct_milli") - F.col("n_tokens") * F.col("ltm"))
+            .cast("long")
+            .alias("sum_logprob_milli"),
+            F.floor(
+                (F.col("sum_log_ct_milli") - F.col("n_tokens") * F.col("ltm"))
+                / F.col("n_tokens")
+            )
+            .cast("long")
+            .alias("mean_logprob_milli"),
+        )
+    )
+
+
+SQL_UNIGRAM_LOGPROB_QUALITY = """
+WITH tf AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  GROUP BY doc_id, tok
+),
+counts AS (
+  SELECT tok, CAST(sum(tf) AS BIGINT) AS ct,
+         CAST(floor(log10(CAST(sum(tf) AS DOUBLE)) * 1000) AS BIGINT) AS lcm
+  FROM tf GROUP BY tok
+),
+total AS (
+  SELECT CAST(floor(log10(CAST(sum(ct) AS DOUBLE)) * 1000) AS BIGINT) AS ltm
+  FROM counts
+),
+scored AS (
+  SELECT t.doc_id, CAST(sum(t.tf) AS BIGINT) AS n_tokens,
+         CAST(sum(t.tf * c.lcm) AS BIGINT) AS sum_log_ct_milli
+  FROM tf t JOIN counts c USING (tok)
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens,
+       CAST(sum_log_ct_milli - n_tokens * (SELECT ltm FROM total) AS BIGINT)
+         AS sum_logprob_milli,
+       CAST(floor((sum_log_ct_milli - n_tokens * (SELECT ltm FROM total))
+            * 1.0 / n_tokens) AS BIGINT) AS mean_logprob_milli
+FROM scored
+"""
+
+
+#: sequence-packing budget: docs are packed, in deterministic doc_id
+#: order, into training shards of at most this many whitespace tokens
+#: (a doc starts in the shard its cumulative start offset falls in)
+_SHARD_TOKEN_BUDGET = 4096
+#: doc_ids per prefix-sum group — the two-phase cumulative sum's
+#: window partitions (floor(doc_id / this) is monotone with doc_id, so
+#: group-offset + within-group running sum == the global running sum)
+_SHARD_GROUP_SPAN = 1024
+
+
+def q_token_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign every doc to a fixed-token-budget
+    training shard by global cumulative token count in doc_id order —
+    the deterministic sharding step before tokenize-and-concat.
+
+    100 TB: a naive ``sum().over(Window.orderBy("doc_id"))`` with no
+    partitionBy collapses the whole corpus into ONE window task. This
+    implements the scalable two-phase prefix sum instead: bounded
+    windows partitioned by g = floor(doc_id / span) do the per-group
+    running sums in parallel, per-group totals (corpus/span rows —
+    tiny) get exclusive prefix offsets in a single cheap window, and a
+    broadcast join re-attaches the offsets. Because g is monotone in
+    doc_id, offset(g) + within-group running sum IS the global running
+    sum — the oracle checks this equality against DuckDB's single
+    global window."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.size(_words()).cast("long").alias("n_tokens"),
+        F.floor(F.col("doc_id") / _SHARD_GROUP_SPAN).alias("g"),
+    )
+    group_tot = base.groupBy("g").agg(F.sum("n_tokens").alias("g_tokens"))
+    w_groups = Window.orderBy("g").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = group_tot.select(
+        "g",
+        F.coalesce(F.sum("g_tokens").over(w_groups), F.lit(0)).alias(
+            "g_offset"
+        ),
+    )
+    w_in_group = Window.partitionBy("g").orderBy("doc_id")
+    cum = F.col("g_offset") + F.sum("n_tokens").over(w_in_group)
+    return (
+        base.join(F.broadcast(offsets), "g")
+        .select(
+            "doc_id",
+            "n_tokens",
+            cum.cast("long").alias("cum_tokens"),
+            F.floor((cum - F.col("n_tokens")) / _SHARD_TOKEN_BUDGET)
+            .cast("long")
+            .alias("shard_id"),
+        )
+    )
+
+
+SQL_TOKEN_BUDGET_SHARDS = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, n_tokens, cum_tokens,
+       CAST(floor((cum_tokens - n_tokens) * 1.0 / {_SHARD_TOKEN_BUDGET})
+            AS BIGINT) AS shard_id
+FROM c
+"""
+
+
+def q_delta_dedup_new_vs_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-delta dedup: classify every doc of an incoming snapshot
+    against the already-ingested base corpus — 'exact_dup' (sha256 of
+    the text exists in base), else 'token_set_dup' (whitespace/reorder-
+    invariant token-set class exists in base), else 'novel'. The
+    crawl-refresh primitive: only novel docs proceed to the expensive
+    near-dup tiers. Snapshot membership is deterministic here
+    (doc_id % 10 < 3 plays the incoming crawl) so the oracle is exact.
+
+    100 TB: two hash-keyed LEFT SEMI-shaped joins against DISTINCT'd
+    base keys — sha256/token-set keys are uniform (no skew), the probe
+    side streams, and nothing is collected. At a real deployment the
+    base sides are the dedup index checkpoints, read pre-bucketed."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("h"),
+        _token_set_hash().alias("sh"),
+    )
+    new = keyed.filter(F.pmod(F.col("doc_id"), F.lit(10)) < 3)
+    base = keyed.filter(F.pmod(F.col("doc_id"), F.lit(10)) >= 3)
+    base_h = base.select("h").distinct().withColumn("is_exact", F.lit(1))
+    base_sh = base.select("sh").distinct().withColumn("is_near", F.lit(1))
+    return (
+        new.join(base_h, "h", "left")
+        .join(base_sh, "sh", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("is_exact").isNotNull(), F.lit("exact_dup"))
+            .when(F.col("is_near").isNotNull(), F.lit("token_set_dup"))
+            .otherwise(F.lit("novel"))
+            .alias("status"),
+        )
+    )
+
+
+SQL_DELTA_DEDUP_NEW_VS_BASE = f"""
+WITH k AS (
+  SELECT doc_id, sha256(text) AS h, {_SQL_TOKEN_SET_HASH} AS sh
+  FROM documents
+),
+new AS (SELECT * FROM k WHERE doc_id % 10 < 3),
+base AS (SELECT * FROM k WHERE doc_id % 10 >= 3)
+SELECT n.doc_id,
+       CASE WHEN EXISTS (SELECT 1 FROM base b WHERE b.h = n.h)
+              THEN 'exact_dup'
+            WHEN EXISTS (SELECT 1 FROM base b WHERE b.sh = n.sh)
+              THEN 'token_set_dup'
+            ELSE 'novel' END AS status
+FROM new n
+"""
+
+
 def _doc_bucket() -> Column:
     """Percentile bucket 0..99 of a doc_id: md5-derived, content- and
     partition-independent — the shared primitive behind the
@@ -2911,6 +3129,9 @@ QUERIES: dict[str, QueryFn] = {
     "decontaminate_vs_eval": q_decontaminate_vs_eval,
     "pii_redaction": q_pii_redaction,
     "bpe_token_counts": q_bpe_token_counts,
+    "unigram_logprob_quality": q_unigram_logprob_quality,
+    "token_budget_shards": q_token_budget_shards,
+    "delta_dedup_new_vs_base": q_delta_dedup_new_vs_base,
     # embeddings / similarity search
     "embedding_norms": q_embedding_norms,
     "ann_cosine_topk": q_ann_cosine_topk,
@@ -2926,11 +3147,11 @@ QUERIES: dict[str, QueryFn] = {
     "pricing_summary": q_pricing_summary,
     "events_hourly": q_events_hourly,
     "user_sessions": q_user_sessions,
-    "repeat_customers_setops": q_repeat_customers_setops,
-    "customers_without_orders": q_customers_without_orders,
     # --- driver window boundary (~50) ---------------------------------
     # relational demos past the window: still oracled + checked by
     # tools/check_oracles.py, redundant with the in-window set above
+    "repeat_customers_setops": q_repeat_customers_setops,
+    "customers_without_orders": q_customers_without_orders,
     "region_customer_rollup": q_region_customer_rollup,
     "top_orders_by_revenue": q_top_orders_by_revenue,
     "brand_revenue": q_brand_revenue,
@@ -2983,6 +3204,9 @@ ORACLES: dict[str, str] = {
     "decontaminate_vs_eval": SQL_DECONTAMINATE_VS_EVAL,
     "pii_redaction": SQL_PII_REDACTION,
     "bpe_token_counts": SQL_BPE_TOKEN_COUNTS,
+    "unigram_logprob_quality": SQL_UNIGRAM_LOGPROB_QUALITY,
+    "token_budget_shards": SQL_TOKEN_BUDGET_SHARDS,
+    "delta_dedup_new_vs_base": SQL_DELTA_DEDUP_NEW_VS_BASE,
     "embedding_norms": SQL_EMBEDDING_NORMS,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "embedding_near_dup_pairs": SQL_EMBEDDING_NEAR_DUP_PAIRS,

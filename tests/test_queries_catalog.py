@@ -256,6 +256,107 @@ def test_decontamination_flags_eval_overlap(spark, tmp_path):
     assert 0 < got[2].contamination_permille < 1000
 
 
+def test_unigram_logprob_ranks_rare_below_common(spark, tmp_path):
+    """A doc made of corpus-unique tokens must score a lower mean
+    unigram logprob than a doc of corpus-common tokens, and the score
+    must hash-match DuckDB exactly (per-value milli flooring keeps the
+    float log out of the summation)."""
+    import duckdb
+
+    from imageduplicatefinder_spark.queries import ORACLES, QUERIES
+
+    common = "the the the cat sat"
+    docs = spark.createDataFrame(
+        [(1, common, "en", 1), (2, common, "en", 1),
+         (3, "zyx wvu tsr qpo nml", "en", 1)],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    docs.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    s = {r.doc_id: (r.n_tokens, r.sum_logprob_milli, r.mean_logprob_milli)
+         for r in QUERIES["unigram_logprob_quality"](
+             spark, str(tmp_path)).collect()}
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    o = {r[0]: tuple(r[1:])
+         for r in con.sql(ORACLES["unigram_logprob_quality"]).fetchall()}
+    assert s == o
+    assert s[1] == s[2]                       # identical docs, same score
+    assert s[3][2] < s[1][2]                  # rare vocab scores lower
+
+
+def test_token_budget_shards_two_phase_prefix_sum(spark, tmp_path):
+    """Two-phase prefix sum == DuckDB's single global window, INCLUDING
+    doc_ids spanning multiple offset groups (> _SHARD_GROUP_SPAN), and
+    a doc starts in the shard its cumulative start offset falls in."""
+    import duckdb
+
+    from imageduplicatefinder_spark.queries import (
+        _SHARD_GROUP_SPAN,
+        _SHARD_TOKEN_BUDGET,
+        ORACLES,
+        QUERIES,
+    )
+
+    # 3000-token docs; ids straddle three offset groups
+    ids = [1, 2, _SHARD_GROUP_SPAN + 5, 2 * _SHARD_GROUP_SPAN + 9]
+    text = " ".join(f"w{i}" for i in range(3000))
+    docs = spark.createDataFrame(
+        [(i, text, "en", 1) for i in ids],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    docs.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    s = {r.doc_id: (r.n_tokens, r.cum_tokens, r.shard_id)
+         for r in QUERIES["token_budget_shards"](
+             spark, str(tmp_path)).collect()}
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    o = {r[0]: tuple(r[1:])
+         for r in con.sql(ORACLES["token_budget_shards"]).fetchall()}
+    assert s == o
+    # starts at 0, 3000, 6000, 9000 tokens -> shards 0, 0, 1, 2 @4096
+    assert [s[i][2] for i in ids] == [0, 0, 1, 2]
+    assert _SHARD_TOKEN_BUDGET == 4096
+
+
+def test_delta_dedup_classifies_snapshot_docs(spark, tmp_path):
+    """Incoming docs (doc_id % 10 < 3) classify against base: exact
+    text match -> exact_dup, word-reorder match -> token_set_dup, else
+    novel; cross-engine equal."""
+    import duckdb
+
+    from imageduplicatefinder_spark.queries import ORACLES, QUERIES
+
+    docs = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma", "en", 1),     # new: exact dup of 13
+            (11, "gamma alpha beta", "en", 1),     # new: reorder of 13
+            (12, "completely novel words", "en", 1),  # new: novel
+            (13, "alpha beta gamma", "en", 1),     # base
+            (14, "other base text", "en", 1),      # base
+        ],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    docs.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    s = {r.doc_id: r.status
+         for r in QUERIES["delta_dedup_new_vs_base"](
+             spark, str(tmp_path)).collect()}
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    o = {r[0]: r[1]
+         for r in con.sql(ORACLES["delta_dedup_new_vs_base"]).fetchall()}
+    assert s == o
+    assert s == {10: "exact_dup", 11: "token_set_dup", 12: "novel"}
+
+
 def test_prefix_filter_equals_full_shingle_join(spark):
     """Prefix filtering (AllPairs) must return EXACTLY the brute-force
     jaccard pairs — the prefix guarantee is exact, not probabilistic."""
