@@ -134,6 +134,9 @@ def main() -> None:
         "decontaminate_vs_eval",
         "pii_redaction",
         "ngram_jaccard_prefix_pairs",
+        "unigram_logprob_quality",
+        "token_budget_shards",
+        "delta_dedup_new_vs_base",
     ):
         timed(q, lambda q=q: QUERIES[q](spark, sf_dir).count(), runs=2)
 

@@ -2528,21 +2528,24 @@ def _portable_simhash(docs: DataFrame) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
     ).select("doc_id", F.md5(F.col("tok")).alias("h"))
-    # parse each hex nibble ONCE per token (16 string ops instead of 64)
-    nibs = toks.select(
+    # parse the digest with TWO 8-hex-digit conv calls (the string ops
+    # are the expensive part — 2 per token instead of the earlier 16
+    # per-nibble convs); bit extraction is then pure long arithmetic
+    halves = toks.select(
         "doc_id",
-        *[
-            F.conv(F.substring(F.col("h"), p + 1, 1), 16, 10)
-            .cast("int")
-            .alias(f"nib{p}")
-            for p in range(16)
-        ],
+        F.conv(F.substring(F.col("h"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("hi"),
+        F.conv(F.substring(F.col("h"), 9, 8), 16, 10)
+        .cast("long")
+        .alias("lo"),
     )
     aggs = []
     for j in range(64):
-        bit = F.shiftright(F.col(f"nib{j // 4}"), 3 - j % 4).bitwiseAND(F.lit(1))
+        src, sh = ("hi", 31 - j) if j < 32 else ("lo", 63 - j)
+        bit = F.shiftright(F.col(src), sh).bitwiseAND(F.lit(1))
         aggs.append(F.sum(bit).alias(f"b{j}"))
-    sums = nibs.groupBy("doc_id").agg(F.count("*").alias("n"), *aggs)
+    sums = halves.groupBy("doc_id").agg(F.count("*").alias("n"), *aggs)
     sim = F.lit(0).cast("long")
     for j in range(64):
         bit = (F.col(f"b{j}") * 2 > F.col("n")).cast("long")
