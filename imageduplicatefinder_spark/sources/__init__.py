@@ -8,9 +8,15 @@ from imageduplicatefinder_spark.sources.generator import (
     generate_corpus,
     corpus_to_dataframe,
 )
+from imageduplicatefinder_spark.sources.jsonl import (
+    DOCUMENTS_JSONL_SCHEMA,
+    read_documents_jsonl,
+    write_documents_jsonl,
+)
 from imageduplicatefinder_spark.sources.tables import load_table, load_testdata
 
 __all__ = [
+    "DOCUMENTS_JSONL_SCHEMA",
     "GeneratedCorpus",
     "generate_corpus",
     "corpus_to_dataframe",
@@ -18,5 +24,7 @@ __all__ = [
     "files_as_media",
     "load_table",
     "load_testdata",
+    "read_documents_jsonl",
     "scan_files",
+    "write_documents_jsonl",
 ]

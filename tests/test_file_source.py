@@ -107,3 +107,54 @@ def test_files_as_documents_decode_error_policies(spark, tmp_path):
 
     with pytest.raises(Exception, match="MALFORMED_CHARACTER_CODING"):
         files_as_documents(files, errors="strict").collect()
+
+
+def test_jsonl_round_trip_and_bad_line_policies(spark, tmp_path):
+    """JSONL corpus source: explicit-schema read round-trips the
+    writer's output; a malformed line is skipped / quarantined /
+    fatal per the bad_lines policy (S4 per-row error isolation)."""
+    import pytest
+
+    from imageduplicatefinder_spark.sources import (
+        read_documents_jsonl,
+        write_documents_jsonl,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}", "en", "s", 6) for i in range(10)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = str(tmp_path / "corpus")
+    write_documents_jsonl(docs, out, num_shards=3)
+    back = read_documents_jsonl(spark, out)
+    assert sorted((r.doc_id, r.text) for r in back.collect()) == [
+        (i, f"text {i}") for i in range(10)
+    ]
+    # deterministic sharding: same data -> same shard membership
+    import glob
+
+    shards1 = sorted(glob.glob(out + "/part-*"))
+    assert len(shards1) == 3
+
+    # malformed line handling
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    (raw / "a.jsonl").write_text(
+        '{"doc_id": 1, "text": "ok", "lang": "en", "source": "s", "n_chars": 2}\n'
+        "this is not json\n"
+        '{"doc_id": 2, "text": "also ok", "lang": "en", "source": "s", "n_chars": 7}\n'
+    )
+    good = read_documents_jsonl(spark, str(raw), bad_lines="skip")
+    assert {r.doc_id for r in good.collect()} == {1, 2}
+
+    kept = read_documents_jsonl(spark, str(raw), bad_lines="keep")
+    rows = kept.collect()
+    assert len(rows) == 3
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert len(bad) == 1 and "not json" in bad[0]._corrupt_record
+
+    with pytest.raises(Exception):
+        read_documents_jsonl(spark, str(raw), bad_lines="strict").collect()
+
+    with pytest.raises(ValueError):
+        read_documents_jsonl(spark, str(raw), bad_lines="wat")
