@@ -166,3 +166,32 @@ def test_reporting_aggs_have_partial_final_split(spark):
     for q in ("vocab_top_terms", "dup_rate_by_lang"):
         plan = plan_of(QUERIES[q](spark, SF_DIR))
         assert "partial_count" in plan or "partial_sum" in plan, q
+
+
+def test_delta_dedup_no_cartesian_and_pruned_scan(spark):
+    """The snapshot-delta classifier must plan hash joins only, and
+    its scan must read just (doc_id, text) — never the other columns."""
+    plan = plan_of(QUERIES["delta_dedup_new_vs_base"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_token_budget_shards_window_is_partitioned(spark):
+    """The doc-level running sum must be a PARTITIONED window (by the
+    offset group), not a single global sort: the plan's exchanges must
+    include hashpartitioning on g, and the only SinglePartition
+    exchange feeds the tiny per-group offsets window."""
+    plan = plan_of(QUERIES["token_budget_shards"](spark, SF_DIR))
+    assert "hashpartitioning(g" in plan, plan
+    # the group-offset side is broadcast back, not shuffled at doc scale
+    assert "BroadcastHashJoin" in plan
+
+
+def test_unigram_logprob_scalar_attach_is_broadcast(spark):
+    """The corpus-total scalar joins back via broadcast; the token
+    explode feeds partial/final hash aggregates (map-side combine)."""
+    plan = plan_of(QUERIES["unigram_logprob_quality"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
