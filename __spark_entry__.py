@@ -4,12 +4,13 @@
 sf0.001; ``queries()``/``oracle_sql()`` expose the full catalog from
 ``imageduplicatefinder_spark.queries`` (one entry per implemented
 operator family from SURVEY.md §2 plus the training-pipeline ops).
-The five queries without an oracle entry are genuinely
+The six queries without an oracle entry are genuinely
 non-SQL-expressible — they depend on the engine's internal vectorized
 token hash (MinHash banding, the flagship LSH pipeline, the
 gradient-sign sketch), the stubbed media decode (pHash pairs), or
-runtime-trained IVF centroids that cannot appear in a static SQL
-string — and get the driver's rows-only check. Every other registered
+runtime-trained k-means centroids that cannot appear in a static SQL
+string (IVF top-k, the SemDeDup keeper) — and get the driver's
+rows-only check. Every other registered
 query is value-hash checked against DuckDB, including the
 SimHash Hamming pairs (portable md5-nibble simhash), connected
 components (recursive-CTE fixpoint), and the hyperplane-bucketed ANN

@@ -43,6 +43,7 @@ def blocked_cosine_pairs(
     n_blocks: int = 8,
     out_a: str = "vec_a",
     out_b: str = "vec_b",
+    partition_col: str | None = None,
 ) -> DataFrame:
     """Exact pairs with cosine >= threshold, distributed block-matrix
     form: rows are hashed into ``n_blocks`` blocks, each row is
@@ -68,11 +69,17 @@ def blocked_cosine_pairs(
     property-tested against an in-process brute force
     (tests/test_similarity.py) — the SQL parity check is an additional
     signal, not the definition.
+
+    ``partition_col``: when given, pairs only form WITHIN equal values
+    of that column (the block-matrix runs independently per partition
+    value) — the SemDeDup within-cluster mode.
     """
+    part = [F.col(partition_col).alias("_part")] if partition_col else []
     base = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_vec"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("_blk"),
+        *part,
     )
     rep = base.withColumn(
         "_p", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))
@@ -82,10 +89,11 @@ def blocked_cosine_pairs(
         "_id",
         "_vec",
         "_blk",
+        *(["_part"] if partition_col else []),
     )
 
     def tile(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
-        gi, gj = int(key[0]), int(key[1])
+        gi, gj = int(key[-2]), int(key[-1])
         ids = pdf["_id"].to_numpy(dtype=np.int64)
         mat = np.array(list(pdf["_vec"]), dtype=np.float64)
         norms = np.sqrt((mat * mat).sum(axis=1))
@@ -114,7 +122,8 @@ def blocked_cosine_pairs(
             }
         )
 
-    return rep.groupBy("_gi", "_gj").applyInPandas(
+    group_cols = (["_part"] if partition_col else []) + ["_gi", "_gj"]
+    return rep.groupBy(*group_cols).applyInPandas(
         tile, f"{out_a} long, {out_b} long, cosine_milli long"
     )
 
@@ -355,4 +364,82 @@ def ivf_topk(
     return ranked.select(
         "query_id", "rank", "neighbor_id",
         F.floor(F.col("cos") * 1000).cast("long").alias("cosine_milli"),
+    )
+
+
+def semantic_dedup_keeper(
+    embeddings: DataFrame,
+    threshold_milli: int = 950,
+    nlist: int = 16,
+    seed: int = 42,
+    n_blocks: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means-cluster
+    the embedding space with the IVF coarse quantizer, then WITHIN each
+    cluster group points whose cosine >= threshold and keep only the
+    smallest id of each group — the sub-quadratic semantic-dedup tier
+    (cosine pairs are only computed inside a cluster, never across).
+
+    Output: (id, list_id, action KEEP|DELETE, keeper_id) for EVERY
+    input row — singletons and sub-threshold points KEEP themselves.
+
+    Recall caveat, inherent to the method: a near-dup pair split across
+    two k-means cells is NOT examined (the paper accepts this; raise
+    ``nlist`` granularity or fall back to ``blocked_cosine_pairs`` for
+    the exact tier). Precision within a cluster is exact — real BLAS
+    cosine, no sketch.
+
+    100 TB shape: centroids train on a bounded cluster-deterministic
+    sample (broadcast matrix), assignment is one mapInPandas matmul
+    pass, within-cluster pairs run the partitioned block-matrix join
+    keyed by (list_id, block_i, block_j) — executor memory stays
+    bounded by the tile size even for a mega-cluster — and the dup
+    groups close under connected components (a chain a~b~c collapses
+    to ONE keeper even when cos(a,c) < t, matching the pipeline's
+    cluster semantics)."""
+    from imageduplicatefinder_spark.operators.components import (
+        connected_components,
+    )
+
+    cents = train_centroids(
+        embeddings, nlist=nlist, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    assigned = assign_lists(
+        embeddings, cents, id_col=id_col, vec_col=vec_col
+    )
+    pairs = blocked_cosine_pairs(
+        assigned,
+        threshold_milli / 1000.0,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_blocks=n_blocks,
+        partition_col="list_id",
+    )
+    edges = pairs.select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    )
+    comp = connected_components(edges)  # (doc_id, cluster_id), min-id label
+    return (
+        assigned.select(id_col, "list_id")
+        .join(
+            comp.withColumnsRenamed(
+                {"doc_id": id_col, "cluster_id": "keeper_id"}
+            ),
+            on=id_col,
+            how="left",
+        )
+        .select(
+            id_col,
+            "list_id",
+            F.when(
+                F.col("keeper_id").isNull()
+                | (F.col("keeper_id") == F.col(id_col)),
+                F.lit("KEEP"),
+            )
+            .otherwise(F.lit("DELETE"))
+            .alias("action"),
+            F.coalesce("keeper_id", F.col(id_col)).alias("keeper_id"),
+        )
     )

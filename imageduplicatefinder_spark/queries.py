@@ -3072,6 +3072,26 @@ def q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_pairs(sketches, radius=2, id_col="id", sketch_col="phash")
 
 
+def q_semdedup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (Abbas et al. 2023): k-means cells via
+    the IVF coarse quantizer, exact within-cell cosine groups at 0.95,
+    min-id keeper per group. Rows-only justification: the centroids are
+    runtime-trained (cluster-deterministic sample + one Lloyd step in
+    numpy) and cannot appear in a static SQL string; the within-cell
+    pair math itself is pytest-pinned against an in-process brute force
+    (tests/test_similarity.py)."""
+    from imageduplicatefinder_spark.operators.similarity import (
+        semantic_dedup_keeper,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # the synthetic testdata embeddings are near-orthogonal (max
+    # pairwise cosine ~0.51), so the demo threshold sits at the tail of
+    # THEIR distribution; planted-dup-group behavior at a realistic
+    # 0.95 is pinned by the brute-force parity pytest
+    return semantic_dedup_keeper(emb, threshold_milli=450, nlist=8, seed=42)
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (coarse quantizer + nprobe inverted lists) —
     the third similarity-search tier alongside brute force (oracle) and
@@ -3168,6 +3188,7 @@ QUERIES: dict[str, QueryFn] = {
     "gradsign_hamming_pairs": q_gradsign_hamming_pairs,
     "media_phash_pairs": q_media_phash_pairs,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "semdedup_keeper": q_semdedup_keeper,
 }
 
 ORACLES: dict[str, str] = {

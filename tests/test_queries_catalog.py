@@ -55,6 +55,7 @@ def test_registry_consistency():
         "gradsign_hamming_pairs",
         "media_phash_pairs",
         "ann_ivf_topk",
+        "semdedup_keeper",
     }
 
 

@@ -182,3 +182,79 @@ def test_hyperplane_lsh_bucket_cap_bounds_degenerate_buckets(spark):
     # per table, and orders of magnitude below the quadratic blowup
     assert capped <= 2 * (32 * 31 // 2), capped
     assert capped < uncapped // 10
+
+
+def test_semdedup_keeper_matches_within_cell_brute_force(spark, emb):
+    """SemDeDup keeper pinned against an in-process oracle: recompute
+    the centroid assignment, within-cell cosine graph, and connected
+    components in numpy and require IDENTICAL keeper decisions."""
+    import numpy as np
+
+    from imageduplicatefinder_spark.operators.similarity import (
+        semantic_dedup_keeper,
+        train_centroids,
+    )
+
+    # the driver testdata embeddings are near-orthogonal (max pairwise
+    # cosine ~0.51), so plant REAL dup groups: 12 anchors, each with 3
+    # jittered copies (cosine >> 0.95), plus the testdata as background
+    rng = np.random.default_rng(7)
+    planted = []
+    vid = 100000
+    for g in range(12):
+        anchor = rng.standard_normal(64)
+        for _ in range(4):
+            v = anchor + rng.standard_normal(64) * 0.01
+            planted.append((vid, [float(x) for x in v], g))
+            vid += 1
+    emb = emb.unionByName(
+        emb.sparkSession.createDataFrame(
+            planted, "vec_id long, embedding array<float>, label int"
+        )
+    )
+
+    t_milli, nlist, seed = 950, 8, 42
+    got = {r.vec_id: (r.list_id, r.action, r.keeper_id)
+           for r in semantic_dedup_keeper(
+               emb, threshold_milli=t_milli, nlist=nlist, seed=seed
+           ).collect()}
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    cents = train_centroids(emb, nlist=nlist, seed=seed)
+    d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    cell = d.argmin(axis=1)
+    # union-find over within-cell pairs with cosine >= t
+    parent = {int(i): int(i) for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    for c in range(nlist):
+        idx = np.nonzero(cell == c)[0]
+        if idx.size < 2:
+            continue
+        sub = mat[idx] / norms[idx][:, None]
+        cos = sub @ sub.T
+        for a in range(idx.size):
+            for b in range(a + 1, idx.size):
+                if cos[a, b] >= t_milli / 1000.0:
+                    ra, rb = find(int(ids[idx[a]])), find(int(ids[idx[b]]))
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    expected = {}
+    for i, c in zip(ids, cell):
+        root = find(int(i))
+        expected[int(i)] = (
+            int(c),
+            "KEEP" if root == int(i) else "DELETE",
+            root,
+        )
+    assert got == expected
+    # non-vacuous: the testdata embeddings contain planted near-dups
+    assert any(v[1] == "DELETE" for v in got.values())
