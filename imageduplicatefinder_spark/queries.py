@@ -2726,6 +2726,119 @@ FROM labels l JOIN csz USING (cluster_id)
 """
 
 
+def q_dedup_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiered dedup funnel — the cheap-to-expensive escalation a
+    web-scale pipeline actually runs, as ONE summary query: tier 1
+    collapses exact sha256 classes, tier 2 collapses token-set classes
+    among tier-1 survivors, tier 3 runs the Jaccard>=0.8 near-dup
+    clustering (standard DF-capped shingle space) among tier-2
+    survivors and keeps each component's min id. One row per tier:
+    (tier_id, tier, removed, remaining).
+
+    100 TB: every tier is a hash groupBy-min (uniform keys) feeding the
+    next; the near tier reuses the capped shingle join + CC machinery
+    (bounded per-key fan-out, 1 job/round); the output is four
+    aggregate scalars assembled by a single explode — nothing wide ever
+    reaches the driver."""
+    from imageduplicatefinder_spark.operators.components import (
+        connected_components,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("h"),
+        _token_set_hash().alias("sh"),
+    )
+    # a sha class has identical text, hence one token-set hash: min is it
+    t1 = keyed.groupBy("h").agg(
+        F.min("doc_id").alias("doc_id"), F.min("sh").alias("sh")
+    )
+    t2 = t1.groupBy("sh").agg(F.min("doc_id").alias("doc_id"))
+    pairs = q_ngram_jaccard_pairs(spark, sf_dir)
+    surv = t2.select("doc_id")
+    edges = (
+        pairs.join(
+            surv.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi"
+        )
+        .join(surv.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
+        .select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    labels = connected_components(edges)
+    wide = (
+        docs.agg(F.count("*").cast("long").alias("c0"))
+        .crossJoin(t1.agg(F.count("*").cast("long").alias("c1")))
+        .crossJoin(t2.agg(F.count("*").cast("long").alias("c2")))
+        .crossJoin(
+            labels.filter(F.col("doc_id") != F.col("cluster_id")).agg(
+                F.count("*").cast("long").alias("r3")
+            )
+        )
+    )
+
+    def row(tid, name, removed, remaining):
+        return F.struct(
+            F.lit(tid).cast("long").alias("tier_id"),
+            F.lit(name).alias("tier"),
+            removed.cast("long").alias("removed"),
+            remaining.cast("long").alias("remaining"),
+        )
+
+    return wide.select(
+        F.explode(
+            F.array(
+                row(0, "input", F.lit(0), F.col("c0")),
+                row(1, "exact", F.col("c0") - F.col("c1"), F.col("c1")),
+                row(2, "token_set", F.col("c1") - F.col("c2"), F.col("c2")),
+                row(3, "near_dup", F.col("r3"), F.col("c2") - F.col("r3")),
+            )
+        ).alias("s")
+    ).select("s.*")
+
+
+SQL_DEDUP_FUNNEL_STATS = f"""
+WITH RECURSIVE {_SHINGLE_CTE},
+k AS (
+  SELECT doc_id, sha256(text) AS h, {_SQL_TOKEN_SET_HASH} AS sh
+  FROM documents
+),
+t1 AS (SELECT min(doc_id) AS doc_id, min(sh) AS sh FROM k GROUP BY h),
+t2 AS (SELECT min(doc_id) AS doc_id FROM t1 GROUP BY sh),
+edges AS (
+  SELECT doc_a, doc_b FROM pair_inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE floor(inter * 1000.0 / (sa.n + sb.n - inter)) >= 800
+    AND doc_a IN (SELECT doc_id FROM t2)
+    AND doc_b IN (SELECT doc_id FROM t2)
+),
+sym AS (SELECT doc_a AS a, doc_b AS b FROM edges
+        UNION ALL SELECT doc_b, doc_a FROM edges),
+reach(node, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym) t
+  UNION
+  SELECT reach.node, sym.b FROM reach JOIN sym ON reach.r = sym.a
+),
+labels AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+c0 AS (SELECT CAST(count(*) AS BIGINT) AS v FROM documents),
+c1 AS (SELECT CAST(count(*) AS BIGINT) AS v FROM t1),
+c2 AS (SELECT CAST(count(*) AS BIGINT) AS v FROM t2),
+r3 AS (SELECT CAST(count(*) AS BIGINT) AS v
+       FROM labels WHERE doc_id <> cluster_id)
+SELECT CAST(0 AS BIGINT) AS tier_id, 'input' AS tier,
+       CAST(0 AS BIGINT) AS removed, (SELECT v FROM c0) AS remaining
+UNION ALL
+SELECT 1, 'exact', (SELECT v FROM c0) - (SELECT v FROM c1),
+       (SELECT v FROM c1)
+UNION ALL
+SELECT 2, 'token_set', (SELECT v FROM c1) - (SELECT v FROM c2),
+       (SELECT v FROM c2)
+UNION ALL
+SELECT 3, 'near_dup', (SELECT v FROM r3),
+       (SELECT v FROM c2) - (SELECT v FROM r3)
+"""
+
+
 def q_quarantine_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9 quarantine-move analog with collision renaming
     (ref: app/Commands.java:336-354 ``safeMove`` — a second file moved
@@ -3129,6 +3242,7 @@ QUERIES: dict[str, QueryFn] = {
     "quarantine_plan": q_quarantine_plan,
     "near_dup_clusters_exact": q_near_dup_clusters_exact,
     "near_dup_clusters_star": q_near_dup_clusters_star,
+    "dedup_funnel_stats": q_dedup_funnel_stats,
     # dedup via sketch + Hamming LSH (oracle: portable sketches in SQL)
     "simhash_hamming_pairs": q_simhash_hamming_pairs,
     "gradsign_hamming_pairs_portable": q_gradsign_hamming_pairs_portable,
@@ -3206,6 +3320,7 @@ ORACLES: dict[str, str] = {
     "quarantine_plan": SQL_QUARANTINE_PLAN,
     "near_dup_clusters_exact": SQL_NEAR_DUP_CLUSTERS_EXACT,
     "near_dup_clusters_star": SQL_NEAR_DUP_CLUSTERS_EXACT,
+    "dedup_funnel_stats": SQL_DEDUP_FUNNEL_STATS,
     "simhash_hamming_pairs": SQL_SIMHASH_HAMMING_PAIRS,
     "gradsign_hamming_pairs_portable": SQL_GRADSIGN_HAMMING_PAIRS_PORTABLE,
     "simhash_radius_clusters": SQL_SIMHASH_RADIUS_CLUSTERS,

@@ -358,6 +358,43 @@ def test_delta_dedup_classifies_snapshot_docs(spark, tmp_path):
     assert s == {10: "exact_dup", 11: "token_set_dup", 12: "novel"}
 
 
+def test_dedup_funnel_tiers_remove_in_sequence(spark, tmp_path):
+    """Each funnel tier removes exactly its own class of dup: an exact
+    copy dies in tier 1, a word reorder in tier 2, a near-dup (one
+    word changed in a 40-word doc) in tier 3; cross-engine equal."""
+    import duckdb
+
+    from imageduplicatefinder_spark.queries import ORACLES, QUERIES
+
+    base = " ".join(f"w{i}" for i in range(40))
+    near = base.replace("w7 ", "xx ")
+    reorder = " ".join(reversed(base.split()))
+    docs = spark.createDataFrame(
+        [
+            (1, base, "en", 1),
+            (2, base, "en", 1),          # exact dup -> tier 1
+            (3, reorder, "en", 1),       # token-set dup -> tier 2
+            (4, near, "en", 1),          # jaccard ~0.92 -> tier 3
+            (5, "entirely different content here", "en", 1),
+        ],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    docs.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    s = {r.tier: (r.removed, r.remaining)
+         for r in QUERIES["dedup_funnel_stats"](
+             spark, str(tmp_path)).collect()}
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    o = {r[1]: (r[2], r[3])
+         for r in con.sql(ORACLES["dedup_funnel_stats"]).fetchall()}
+    assert s == o
+    assert s == {"input": (0, 5), "exact": (1, 4),
+                 "token_set": (1, 3), "near_dup": (1, 2)}
+
+
 def test_prefix_filter_equals_full_shingle_join(spark):
     """Prefix filtering (AllPairs) must return EXACTLY the brute-force
     jaccard pairs — the prefix guarantee is exact, not probabilistic."""
