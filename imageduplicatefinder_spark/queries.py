@@ -3283,10 +3283,10 @@ QUERIES: dict[str, QueryFn] = {
     # relational analytics (distinctive representatives in-window)
     "pricing_summary": q_pricing_summary,
     "events_hourly": q_events_hourly,
-    "user_sessions": q_user_sessions,
     # --- driver window boundary (~50) ---------------------------------
     # relational demos past the window: still oracled + checked by
     # tools/check_oracles.py, redundant with the in-window set above
+    "user_sessions": q_user_sessions,
     "repeat_customers_setops": q_repeat_customers_setops,
     "customers_without_orders": q_customers_without_orders,
     "region_customer_rollup": q_region_customer_rollup,

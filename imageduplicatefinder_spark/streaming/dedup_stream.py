@@ -247,3 +247,47 @@ def stateful_dup_tracker(documents_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_documents_jsonl(
+    spark,
+    path: str,
+    bad_lines: str = "skip",
+    max_files_per_trigger: int | None = 64,
+) -> DataFrame:
+    """Continuous JSONL ingest: ``readStream`` over a directory of
+    JSONL shards with the SAME explicit schema and per-line corrupt-
+    record policy as the batch reader (sources/jsonl.py) — drop the
+    result into ``dedup_stream``/``incremental_dedup`` for streaming
+    dedup of an arriving crawl.
+
+    ``max_files_per_trigger`` bounds micro-batch size (a backlog of
+    10^6 shards must not become one giant first batch); None leaves
+    Spark's default.
+    """
+    from pyspark.sql import types as T
+
+    from imageduplicatefinder_spark.sources.jsonl import (
+        _CORRUPT_COL,
+        DOCUMENTS_JSONL_SCHEMA,
+    )
+
+    if bad_lines not in ("skip", "keep"):
+        # FAILFAST aborts a continuous query on one bad line — never
+        # what a 24/7 ingest wants, so it is not offered here
+        raise ValueError(f"unknown bad_lines policy {bad_lines!r}")
+    full = T.StructType(
+        list(DOCUMENTS_JSONL_SCHEMA.fields)
+        + [T.StructField(_CORRUPT_COL, T.StringType())]
+    )
+    reader = (
+        spark.readStream.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", _CORRUPT_COL)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.json(path)
+    if bad_lines == "keep":
+        return df
+    return df.filter(F.col(_CORRUPT_COL).isNull()).drop(_CORRUPT_COL)

@@ -524,3 +524,36 @@ def test_incremental_edges_refresh_clusters_equals_full_recompute(spark, tmp_pat
     assert any({ids["v1/a1.py"], ids["v2/a3.py"]} <= f for f in fam)
     assert any({ids["v1/b1.py"], ids["v2/b2.py"]} <= f for f in fam)
     assert any({ids["v2/new1.py"], ids["v2/new2.py"]} <= f for f in fam)
+
+
+def test_stream_documents_jsonl_skips_corrupt_lines(spark, tmp_path):
+    """Streaming JSONL ingest: good lines flow through the availableNow
+    micro-batch, the corrupt line is dropped (skip) or surfaced (keep),
+    FAILFAST is refused for a continuous query."""
+    import pytest
+
+    from imageduplicatefinder_spark.streaming.dedup_stream import (
+        stream_documents_jsonl,
+    )
+
+    d = tmp_path / "shards"
+    d.mkdir()
+    (d / "s0.jsonl").write_text(
+        '{"doc_id": 1, "text": "alpha", "lang": "en", "source": "s", "n_chars": 5}\n'
+        "NOT JSON AT ALL\n"
+        '{"doc_id": 2, "text": "beta", "lang": "en", "source": "s", "n_chars": 4}\n'
+    )
+    q = (
+        stream_documents_jsonl(spark, str(d))
+        .writeStream.format("memory")
+        .queryName("jsonl_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    out = spark.sql("select * from jsonl_out").collect()
+    assert sorted((r.doc_id, r.text) for r in out) == [(1, "alpha"), (2, "beta")]
+
+    with pytest.raises(ValueError):
+        stream_documents_jsonl(spark, str(d), bad_lines="strict")
