@@ -137,6 +137,9 @@ def main() -> None:
         "unigram_logprob_quality",
         "token_budget_shards",
         "delta_dedup_new_vs_base",
+        "dedup_funnel_stats",
+        "source_mirror_pairs",
+        "cross_source_dup_ownership",
     ):
         timed(q, lambda q=q: QUERIES[q](spark, sf_dir).count(), runs=2)
 

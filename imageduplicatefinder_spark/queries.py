@@ -1591,6 +1591,170 @@ FROM new n
 """
 
 
+#: mirror detection ignores token-set classes present in MORE than
+#: this many sources — a class shared by "everyone" (a license header,
+#: a vendored file) says nothing about two specific repos mirroring
+#: each other, and dropping it bounds the class self-join fan-out to
+#: C(cap, 2) pairs per class (the stopword-removal move of repo-level
+#: dedup)
+_MIRROR_MAX_SOURCE_DF = 10
+
+
+def q_source_mirror_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repo-level mirror/fork detection (The Stack-style repo dedup,
+    with `source` playing the repo): for every source pair sharing at
+    least one discriminative token-set class, report the shared-class
+    count and the containment permille vs the SMALLER side's class
+    count — pairs near 1000 are mirrors/forks whose whole repo should
+    be deduped as a unit, not file by file.
+
+    100 TB: distinct (source, class) first (one shuffle, collapses
+    per-repo file multiplicity), then the df-cap filter drops viral
+    classes BEFORE the class self-join, so per-class fan-out is at
+    most C(cap, 2) — the pair space is bounded by shared classes, not
+    repos². Everything after is plain keyed aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    classes = (
+        docs.select("source", _token_set_hash().alias("sh")).distinct()
+    )
+    disc = (
+        classes.groupBy("sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= _MIRROR_MAX_SOURCE_DF)
+        .select("sh")
+    )
+    cf = classes.join(disc, "sh").localCheckpoint(eager=False)
+    per_src = cf.groupBy("source").agg(F.count("*").alias("n_classes"))
+    shared = (
+        cf.alias("a")
+        .join(
+            cf.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(
+                per_src.select(
+                    F.col("source").alias("src_a"),
+                    F.col("n_classes").alias("n_a"),
+                )
+            ),
+            "src_a",
+        )
+        .join(
+            F.broadcast(
+                per_src.select(
+                    F.col("source").alias("src_b"),
+                    F.col("n_classes").alias("n_b"),
+                )
+            ),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.floor(
+                F.col("n_shared") * 1000 / F.least(F.col("n_a"), F.col("n_b"))
+            )
+            .cast("long")
+            .alias("overlap_permille"),
+        )
+    )
+
+
+SQL_SOURCE_MIRROR_PAIRS = f"""
+WITH c AS (
+  SELECT DISTINCT source, {_SQL_TOKEN_SET_HASH} AS sh FROM documents
+),
+disc AS (
+  SELECT sh FROM c GROUP BY sh HAVING count(*) <= {_MIRROR_MAX_SOURCE_DF}
+),
+cf AS (SELECT c.* FROM c JOIN disc USING (sh)),
+per AS (SELECT source, count(*) AS n FROM cf GROUP BY source),
+sh AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+  FROM cf a JOIN cf b ON a.sh = b.sh AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, CAST(n_shared AS BIGINT) AS n_shared,
+       CAST(floor(n_shared * 1000.0 / least(pa.n, pb.n)) AS BIGINT)
+         AS overlap_permille
+FROM sh JOIN per pa ON pa.source = sh.src_a
+        JOIN per pb ON pb.source = sh.src_b
+"""
+
+
+def q_cross_source_dup_ownership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-attribution report per source: how many of a repo's
+    docs are duplicates at all (their token-set class has an earlier
+    canonical doc), and how many are owned ELSEWHERE (the canonical
+    copy — min doc_id of the class, the keeper rule — lives in a
+    different source). High n_foreign_owned marks a repo that mostly
+    re-hosts other repos' content: the drop-whole-repo signal.
+
+    100 TB: one groupBy(class) min(struct(doc_id, source)) finds each
+    class's owner WITH its source in the same partial-aggregated pass
+    (no join back to resolve the owner row), then one broadcast-free
+    keyed join re-attaches owners and a final per-source aggregate
+    reduces to repo grain."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select("doc_id", "source", _token_set_hash().alias("sh"))
+    owners = keyed.groupBy("sh").agg(
+        F.min(F.struct("doc_id", "source")).alias("own")
+    )
+    return (
+        keyed.join(owners, "sh")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(
+                (F.col("doc_id") != F.col("own.doc_id")).cast("long")
+            ).alias("n_dup_docs"),
+            F.sum(
+                (F.col("own.source") != F.col("source")).cast("long")
+            ).alias("n_foreign_owned"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dup_docs",
+            "n_foreign_owned",
+            F.floor(F.col("n_foreign_owned") * 1000 / F.col("n_docs"))
+            .cast("long")
+            .alias("foreign_permille"),
+        )
+    )
+
+
+SQL_CROSS_SOURCE_DUP_OWNERSHIP = f"""
+WITH k AS (
+  SELECT doc_id, source, {_SQL_TOKEN_SET_HASH} AS sh FROM documents
+),
+own AS (SELECT sh, min(doc_id) AS own_id FROM k GROUP BY sh),
+j AS (
+  SELECT k.doc_id, k.source, o.own_id, k2.source AS own_src
+  FROM k JOIN own o USING (sh) JOIN k k2 ON k2.doc_id = o.own_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN doc_id != own_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_docs,
+       CAST(sum(CASE WHEN own_src != source THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_foreign_owned,
+       CAST(floor(sum(CASE WHEN own_src != source THEN 1 ELSE 0 END) * 1000.0
+                  / count(*)) AS BIGINT) AS foreign_permille
+FROM j GROUP BY source
+"""
+
+
 def _doc_bucket() -> Column:
     """Percentile bucket 0..99 of a doc_id: md5-derived, content- and
     partition-independent — the shared primitive behind the
@@ -3243,6 +3407,8 @@ QUERIES: dict[str, QueryFn] = {
     "near_dup_clusters_exact": q_near_dup_clusters_exact,
     "near_dup_clusters_star": q_near_dup_clusters_star,
     "dedup_funnel_stats": q_dedup_funnel_stats,
+    "source_mirror_pairs": q_source_mirror_pairs,
+    "cross_source_dup_ownership": q_cross_source_dup_ownership,
     # dedup via sketch + Hamming LSH (oracle: portable sketches in SQL)
     "simhash_hamming_pairs": q_simhash_hamming_pairs,
     "gradsign_hamming_pairs_portable": q_gradsign_hamming_pairs_portable,
@@ -3280,12 +3446,11 @@ QUERIES: dict[str, QueryFn] = {
     # temporal joins
     "asof_click_purchase": q_asof_click_purchase,
     "range_purchase_followups": q_range_purchase_followups,
-    # relational analytics (distinctive representatives in-window)
-    "pricing_summary": q_pricing_summary,
-    "events_hourly": q_events_hourly,
     # --- driver window boundary (~50) ---------------------------------
     # relational demos past the window: still oracled + checked by
     # tools/check_oracles.py, redundant with the in-window set above
+    "pricing_summary": q_pricing_summary,
+    "events_hourly": q_events_hourly,
     "user_sessions": q_user_sessions,
     "repeat_customers_setops": q_repeat_customers_setops,
     "customers_without_orders": q_customers_without_orders,
@@ -3321,6 +3486,8 @@ ORACLES: dict[str, str] = {
     "near_dup_clusters_exact": SQL_NEAR_DUP_CLUSTERS_EXACT,
     "near_dup_clusters_star": SQL_NEAR_DUP_CLUSTERS_EXACT,
     "dedup_funnel_stats": SQL_DEDUP_FUNNEL_STATS,
+    "source_mirror_pairs": SQL_SOURCE_MIRROR_PAIRS,
+    "cross_source_dup_ownership": SQL_CROSS_SOURCE_DUP_OWNERSHIP,
     "simhash_hamming_pairs": SQL_SIMHASH_HAMMING_PAIRS,
     "gradsign_hamming_pairs_portable": SQL_GRADSIGN_HAMMING_PAIRS_PORTABLE,
     "simhash_radius_clusters": SQL_SIMHASH_RADIUS_CLUSTERS,

@@ -195,3 +195,24 @@ def test_unigram_logprob_scalar_attach_is_broadcast(spark):
     plan = plan_of(QUERIES["unigram_logprob_quality"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_source_mirror_pairs_equijoin_and_broadcast_counts(spark):
+    """Repo-mirror detection must candidate via the class-hash
+    equi-join (post df-cap), never a repos² product, and the tiny
+    per-source class counts must attach via broadcast."""
+    plan = plan_of(QUERIES["source_mirror_pairs"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_cross_source_ownership_single_pass_owner(spark):
+    """Ownership attribution: owner resolution is one min(struct) agg
+    with a partial/final split (no join back to fetch the owner row),
+    and the scan prunes to (doc_id, text, source)."""
+    plan = plan_of(QUERIES["cross_source_dup_ownership"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan or "partial_count" in plan, plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "lang" not in read_schema and "n_chars" not in read_schema

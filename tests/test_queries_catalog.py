@@ -358,6 +358,85 @@ def test_delta_dedup_classifies_snapshot_docs(spark, tmp_path):
     assert s == {10: "exact_dup", 11: "token_set_dup", 12: "novel"}
 
 
+def test_source_mirror_pairs_finds_mirrors_and_drops_viral(spark, tmp_path):
+    """Two sources sharing ALL their discriminative classes score
+    overlap_permille 1000; a class present in > _MIRROR_MAX_SOURCE_DF
+    sources (a license header) is excluded and creates NO pairs; both
+    engines agree exactly."""
+    import duckdb
+
+    from imageduplicatefinder_spark.queries import (
+        _MIRROR_MAX_SOURCE_DF,
+        ORACLES,
+        QUERIES,
+    )
+
+    rows = [
+        # mirrorA / mirrorB share both their classes (word reorder is
+        # the same token-set class)
+        (1, "alpha beta gamma", "en", "mirrorA", 1),
+        (2, "delta epsilon zeta", "en", "mirrorA", 1),
+        (3, "gamma beta alpha", "en", "mirrorB", 1),
+        (4, "zeta delta epsilon", "en", "mirrorB", 1),
+        (5, "totally different words", "en", "solo", 1),
+    ]
+    # the same "license header" in cap+2 other sources -> viral, dropped
+    viral = "mit license grant of rights"
+    for i in range(_MIRROR_MAX_SOURCE_DF + 2):
+        rows.append((100 + i, viral, "en", f"viral{i}", 1))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    docs.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    s = sorted(
+        tuple(r) for r in QUERIES["source_mirror_pairs"](
+            spark, str(tmp_path)).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    o = sorted(
+        tuple(r) for r in con.sql(ORACLES["source_mirror_pairs"]).fetchall()
+    )
+    assert s == o
+    assert s == [("mirrorA", "mirrorB", 2, 1000)]
+
+
+def test_cross_source_dup_ownership_attributes_foreign_dups(spark, tmp_path):
+    """Per-source attribution: a dup whose canonical (min doc_id) copy
+    lives in another source counts as foreign-owned; same-source dups
+    count only as dups; cross-engine equal."""
+    import duckdb
+
+    from imageduplicatefinder_spark.queries import ORACLES, QUERIES
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", "en", "origin", 1),   # canonical
+            (2, "gamma alpha beta", "en", "origin", 1),   # same-source dup
+            (3, "beta gamma alpha", "en", "rehost", 1),   # foreign-owned dup
+            (4, "unique rehost text", "en", "rehost", 1), # original
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    s = {r.source: (r.n_docs, r.n_dup_docs, r.n_foreign_owned,
+                    r.foreign_permille)
+         for r in QUERIES["cross_source_dup_ownership"](
+             spark, str(tmp_path)).collect()}
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    o = {r[0]: tuple(r[1:])
+         for r in con.sql(ORACLES["cross_source_dup_ownership"]).fetchall()}
+    assert s == o
+    assert s == {"origin": (2, 1, 0, 0), "rehost": (2, 1, 1, 500)}
+
+
 def test_dedup_funnel_tiers_remove_in_sequence(spark, tmp_path):
     """Each funnel tier removes exactly its own class of dup: an exact
     copy dies in tier 1, a word reorder in tier 2, a near-dup (one
