@@ -8,6 +8,11 @@ from imageduplicatefinder_spark.sources.generator import (
     generate_corpus,
     corpus_to_dataframe,
 )
+from imageduplicatefinder_spark.sources.catalog import (
+    is_catalog_ref,
+    load_corpus,
+    write_corpus,
+)
 from imageduplicatefinder_spark.sources.jsonl import (
     DOCUMENTS_JSONL_SCHEMA,
     read_documents_jsonl,
@@ -22,7 +27,10 @@ __all__ = [
     "corpus_to_dataframe",
     "files_as_documents",
     "files_as_media",
+    "is_catalog_ref",
+    "load_corpus",
     "load_table",
+    "write_corpus",
     "load_testdata",
     "read_documents_jsonl",
     "scan_files",

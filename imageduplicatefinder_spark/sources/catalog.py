@@ -1,0 +1,127 @@
+"""Catalog-table corpus source/sink: the Iceberg-facing surface.
+
+The north-rule deployment reads the source-code corpus from an Iceberg
+table and checkpoints stage outputs back to Iceberg. Spark's public
+abstraction for that is the CATALOG, not a file format: once the
+session carries
+
+    spark.sql.catalog.lake                 = org.apache.iceberg.spark.SparkCatalog
+    spark.sql.catalog.lake.type            = rest | hive | hadoop
+    spark.sql.extensions                   = org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions
+
+``spark.table("lake.db.corpus")`` scans Iceberg with hidden-partition
+pruning and ``df.writeTo("lake.db.sigs")`` (DataFrameWriterV2) writes
+v2 tables with snapshot isolation. This module therefore dispatches on
+the corpus REFERENCE — a dotted catalog identifier goes through
+``spark.table``/``writeTo`` (the code path Iceberg, Delta, and Hive
+all plug into), a path goes through the parquet/JSONL readers — so the
+pipeline code is identical in the sandbox (no Iceberg jars; the
+built-in ``spark_catalog`` exercises the same API against managed
+parquet tables, which is how tests pin this module) and on a real
+lakehouse.
+
+Time travel: Iceberg exposes ``VERSION AS OF``/``TIMESTAMP AS OF``
+through the same identifier surface; ``load_corpus(..., version=...)``
+forwards to ``spark.read.option("versionAsOf"/"snapshot-id", ...)`` on
+catalog refs and raises on plain paths (parquet has no snapshots).
+
+ref: Commands.java:72-74 (scan stage) — generalized from a directory
+walk to a lakehouse table scan.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: dotted identifier, each part a bare SQL identifier — anything else
+#: (slashes, extensions, spaces) is treated as a filesystem path
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)*$")
+
+
+def is_catalog_ref(ref: str) -> bool:
+    """True when ``ref`` names a catalog table (``db.tbl`` /
+    ``catalog.db.tbl``), False when it is a filesystem path."""
+    return bool(_IDENT_RE.match(ref)) and "/" not in ref
+
+
+def load_corpus(
+    spark: SparkSession,
+    ref: str,
+    *,
+    snapshot_id: int | None = None,
+    as_of_timestamp_ms: int | None = None,
+) -> DataFrame:
+    """Read the corpus table from a catalog identifier (Iceberg/Delta/
+    Hive/managed — whatever the session's catalogs resolve) or a
+    parquet/JSONL path. Snapshot options only apply to catalog refs."""
+    if is_catalog_ref(ref):
+        if snapshot_id is not None or as_of_timestamp_ms is not None:
+            reader = spark.read
+            if snapshot_id is not None:
+                reader = reader.option("snapshot-id", str(snapshot_id))
+            if as_of_timestamp_ms is not None:
+                reader = reader.option("as-of-timestamp", str(as_of_timestamp_ms))
+            return reader.table(ref)
+        return spark.table(ref)
+    if snapshot_id is not None or as_of_timestamp_ms is not None:
+        raise ValueError(
+            "snapshot/time-travel reads need a catalog table reference; "
+            f"plain paths have no snapshot history: {ref!r}"
+        )
+    if ref.rstrip("/").endswith(".jsonl") or ref.rstrip("/").endswith("jsonl"):
+        from imageduplicatefinder_spark.sources.jsonl import read_documents_jsonl
+
+        return read_documents_jsonl(spark, ref)
+    return spark.read.parquet(ref)
+
+
+def write_corpus(
+    df: DataFrame,
+    ref: str,
+    *,
+    mode: str = "replace",
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    """Write a stage output to a catalog table (DataFrameWriterV2 —
+    atomic createOrReplace/append with snapshot isolation on Iceberg)
+    or to a parquet path. ``mode`` is ``replace`` or ``append``."""
+    if mode not in ("replace", "append"):
+        raise ValueError(f"mode must be 'replace' or 'append', got {mode!r}")
+    if is_catalog_ref(ref):
+        writer = df.writeTo(ref)
+        if partition_by:
+            from pyspark.sql import functions as F
+
+            writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+        if mode == "append":
+            # append to a table that must already exist (fail fast on a
+            # typo rather than silently creating an unpartitioned table)
+            if not df.sparkSession.catalog.tableExists(ref):
+                raise ValueError(f"append target does not exist: {ref!r}")
+            try:
+                writer.append()
+            except Exception as e:
+                # same V1 session-catalog gap as below: v1 tables only
+                # take the v1 write path
+                if "v1 table" not in str(e):
+                    raise
+                df.write.mode("append").saveAsTable(ref)
+        else:
+            try:
+                writer.createOrReplace()
+            except Exception as e:  # pragma: no cover - branch pinned below
+                # V2 catalogs (Iceberg/Delta) take the atomic RTAS path
+                # above; the built-in V1 session catalog does not
+                # support REPLACE TABLE AS SELECT, so degrade to the
+                # non-atomic drop+create ONLY for that specific gap
+                if "UNSUPPORTED_FEATURE" not in str(e):
+                    raise
+                df.sparkSession.sql(f"DROP TABLE IF EXISTS {ref}")
+                writer.create()
+        return
+    pw = df.write.mode("overwrite" if mode == "replace" else "append")
+    if partition_by:
+        pw = pw.partitionBy(*partition_by)
+    pw.parquet(ref)
