@@ -1755,6 +1755,68 @@ FROM j GROUP BY source
 """
 
 
+#: Type-2-lite canonicalization, shared Java-regex/RE2 syntax (no
+#: backrefs, no lookaround — both engines compile it identically):
+#: strip /* */ block comments, then // line comments, then collapse
+#: whitespace runs and lowercase. Order matters: a // inside a block
+#: comment must go with the block.
+_CLONE_BLOCK_COMMENT = r"/\*([^*]|\*[^/])*\*+/"
+_CLONE_LINE_COMMENT = r"//[^\n]*"
+_CLONE_WS = r"[ \t\n\r\f]+"
+
+
+def _clone_canonical() -> Column:
+    t = F.coalesce(F.col("text"), F.lit(""))
+    t = F.regexp_replace(t, _CLONE_BLOCK_COMMENT, " ")
+    t = F.regexp_replace(t, _CLONE_LINE_COMMENT, " ")
+    t = F.regexp_replace(t, _CLONE_WS, " ")
+    return F.lower(F.trim(t))
+
+
+def q_code_clone_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2-lite code clone detection: two files are clones when they
+    are identical after stripping comments (block + line), collapsing
+    whitespace, and lowercasing — the canonicalize-then-exact-group
+    move that catches the comment-only / reformat-only forks exact
+    sha256 dedup misses, without the cost of a similarity join.
+
+    The whitespace class is spelled [ \\t\\n\\r\\f] literally (not \\s)
+    because Java's \\s and RE2's \\s disagree on \\x0B — the explicit
+    class is engine-identical by construction.
+
+    100 TB: canonicalization is row-local Catalyst regexp (one scan,
+    no shuffle); the only shuffle is the md5-keyed groupBy with
+    partial/final split. Viral canonical forms (empty file, license
+    stub) are just big groups on a 16-byte uniform key — min/count
+    aggregate state is O(1) per group either way."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.md5(_clone_canonical()).alias("canon_hash"))
+        .groupBy("canon_hash")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.min("doc_id").alias("clone_id"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )
+
+
+_SQL_CLONE_CANON = (
+    "lower(trim(regexp_replace(regexp_replace(regexp_replace("
+    "coalesce(text, ''), "
+    f"'{_CLONE_BLOCK_COMMENT}', ' ', 'g'), "
+    f"'{_CLONE_LINE_COMMENT}', ' ', 'g'), "
+    "'[ \\t\\n\\r\\f]+', ' ', 'g')))"
+)
+
+SQL_CODE_CLONE_CLASSES = f"""
+SELECT md5({_SQL_CLONE_CANON}) AS canon_hash,
+       CAST(count(*) AS BIGINT) AS n_members,
+       min(doc_id) AS clone_id
+FROM documents GROUP BY 1 HAVING count(*) >= 2
+"""
+
+
 def _doc_bucket() -> Column:
     """Percentile bucket 0..99 of a doc_id: md5-derived, content- and
     partition-independent — the shared primitive behind the
@@ -3409,6 +3471,7 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_funnel_stats": q_dedup_funnel_stats,
     "source_mirror_pairs": q_source_mirror_pairs,
     "cross_source_dup_ownership": q_cross_source_dup_ownership,
+    "code_clone_classes": q_code_clone_classes,
     # dedup via sketch + Hamming LSH (oracle: portable sketches in SQL)
     "simhash_hamming_pairs": q_simhash_hamming_pairs,
     "gradsign_hamming_pairs_portable": q_gradsign_hamming_pairs_portable,
@@ -3425,7 +3488,6 @@ QUERIES: dict[str, QueryFn] = {
     "stratified_sample": q_stratified_sample,
     "lang_file_counts": q_lang_file_counts,
     "vocab_top_terms": q_vocab_top_terms,
-    "top_terms_per_doc": q_top_terms_per_doc,
     "dup_rate_by_lang": q_dup_rate_by_lang,
     "duplicate_ngram_coverage": q_duplicate_ngram_coverage,
     "chunk_dedup_corpus": q_chunk_dedup_corpus,
@@ -3451,6 +3513,7 @@ QUERIES: dict[str, QueryFn] = {
     # tools/check_oracles.py, redundant with the in-window set above
     "pricing_summary": q_pricing_summary,
     "events_hourly": q_events_hourly,
+    "top_terms_per_doc": q_top_terms_per_doc,
     "user_sessions": q_user_sessions,
     "repeat_customers_setops": q_repeat_customers_setops,
     "customers_without_orders": q_customers_without_orders,
@@ -3488,6 +3551,7 @@ ORACLES: dict[str, str] = {
     "dedup_funnel_stats": SQL_DEDUP_FUNNEL_STATS,
     "source_mirror_pairs": SQL_SOURCE_MIRROR_PAIRS,
     "cross_source_dup_ownership": SQL_CROSS_SOURCE_DUP_OWNERSHIP,
+    "code_clone_classes": SQL_CODE_CLONE_CLASSES,
     "simhash_hamming_pairs": SQL_SIMHASH_HAMMING_PAIRS,
     "gradsign_hamming_pairs_portable": SQL_GRADSIGN_HAMMING_PAIRS_PORTABLE,
     "simhash_radius_clusters": SQL_SIMHASH_RADIUS_CLUSTERS,

@@ -437,6 +437,49 @@ def test_cross_source_dup_ownership_attributes_foreign_dups(spark, tmp_path):
     assert s == {"origin": (2, 1, 0, 0), "rehost": (2, 1, 1, 500)}
 
 
+def test_code_clone_classes_type2_canonicalization(spark, tmp_path):
+    """Comment-only, reformat-only, and case-only forks land in one
+    clone class; a real code change does not; cross-engine equal."""
+    import duckdb
+
+    from imageduplicatefinder_spark.queries import ORACLES, QUERIES
+
+    base = "int main() { return compute(x); }"
+    forks = [
+        (1, base),
+        (2, "/* copyright\n * header */ int main() { return compute(x); }"),
+        (3, "int main() {\n    return compute(x);  // tail call\n}"),
+        (4, "INT Main() { RETURN Compute(X); }"),
+        (5, "int main() { return compute(y); }"),   # real change
+        (6, "int main() { return compute(y); }"),   # exact dup of 5
+        (7, "unrelated"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", 1) for i, t in forks],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    s = sorted(
+        (r.clone_id, r.n_members)
+        for r in QUERIES["code_clone_classes"](spark, str(tmp_path)).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    o_rows = con.sql(ORACLES["code_clone_classes"]).fetchall()
+    o = sorted((r[2], r[1]) for r in o_rows)
+    assert s == o
+    assert s == [(1, 4), (5, 2)]
+    # full-row parity incl. the canonical hash itself
+    s_full = sorted(
+        tuple(r) for r in QUERIES["code_clone_classes"](
+            spark, str(tmp_path)).collect()
+    )
+    assert s_full == sorted(tuple(r) for r in o_rows)
+
+
 def test_dedup_funnel_tiers_remove_in_sequence(spark, tmp_path):
     """Each funnel tier removes exactly its own class of dup: an exact
     copy dies in tier 1, a word reorder in tier 2, a near-dup (one
