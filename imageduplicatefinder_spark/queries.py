@@ -1817,6 +1817,119 @@ FROM documents GROUP BY 1 HAVING count(*) >= 2
 """
 
 
+def q_type2_clone_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 FULL clone classes: consistent-renaming-invariant
+    grouping. Each token of the comment-stripped canonical text is
+    replaced by the position of its FIRST occurrence in the document
+    (``a b a`` -> ``1 2 1``), so two files whose token streams differ
+    only by a consistent identifier bijection produce the same pattern
+    — the classic alpha-renaming canonical form for Type-2 clone
+    detection (Baker '95 parameterized matching / CCFinder family),
+    one notch past ``code_clone_classes``' layout-only Type-2-lite.
+
+    ``array_position`` (Spark) and ``list_position`` (DuckDB) share
+    first-occurrence 1-based semantics exactly, so the pattern string
+    — and therefore its md5 group key — is engine-identical.
+
+    100 TB: the pattern build is row-local (one scan, no shuffle);
+    the only shuffle is the md5-keyed groupBy. The Catalyst
+    ``array_position`` form is O(L^2) per doc (each token scans the
+    prefix); acceptable for source files (L ~ 10^3 tokens), and the
+    at-scale swap is a mapInPandas first-occurrence hashmap (O(L),
+    same output) — kept SQL-expressible here so the operator stays
+    inside the cross-engine oracle gate."""
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id", F.split(_clone_canonical(), " ").alias("w")
+    )
+    pattern = F.transform(
+        F.col("w"), lambda t: F.array_position(F.col("w"), t)
+    )
+    pattern_str = F.concat_ws(
+        " ", F.transform(pattern, lambda x: x.cast("string"))
+    )
+    return (
+        staged.select("doc_id", F.md5(pattern_str).alias("pattern_hash"))
+        .groupBy("pattern_hash")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.min("doc_id").alias("clone_id"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )
+
+
+SQL_TYPE2_CLONE_CLASSES = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_SQL_CLONE_CANON}, ' ') AS w FROM documents
+),
+pat AS (
+  SELECT doc_id, array_to_string(
+    list_transform(w, t -> CAST(list_position(w, t) AS VARCHAR)), ' '
+  ) AS p FROM toks
+)
+SELECT md5(p) AS pattern_hash,
+       CAST(count(*) AS BIGINT) AS n_members,
+       min(doc_id) AS clone_id
+FROM pat GROUP BY 1 HAVING count(*) >= 2
+"""
+
+
+#: Levenshtein verify cap: candidates farther than this are dropped.
+#: Also the band width of Spark's thresholded levenshtein kernel.
+_EDIT_MAX = 64
+
+
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded edit-distance near-dup pairs: shingle-blocked candidate
+    pairs (the DF-capped word-3-gram equi-join — no cartesian) verified
+    with character-level Levenshtein distance <= _EDIT_MAX. The
+    strictest sequence-aware verify tier in the funnel: Jaccard ignores
+    order, containment ignores edits, edit distance prices every
+    insert/delete/substitute.
+
+    Spark computes the BANDED kernel — ``levenshtein(a, b, threshold)``
+    is O(len * threshold), not O(len^2), and returns -1 past the band —
+    so the verify cost per candidate is linear in document length.
+    Candidate semantics (shared >= 1 surviving shingle) are part of the
+    operator's definition and identical in the oracle; a pair whose
+    every shared shingle was DF-capped away is out of scope by design
+    (same both engines). Caveat: DuckDB's levenshtein is byte-based vs
+    Spark's char-based — identical on this ASCII corpus; non-ASCII
+    corpora would need an ASCII projection before the kernel.
+
+    100 TB: one equi-join shuffle for candidates (hot keys capped
+    upstream), one hash-join to attach the two texts, then a row-local
+    banded kernel; nothing quadratic in corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = _shingle_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    texts = docs.select("doc_id", "text")
+    dist = F.levenshtein(F.col("ta"), F.col("tb"), _EDIT_MAX)
+    return (
+        cands.join(
+            texts.select(F.col("doc_id").alias("doc_a"),
+                         F.col("text").alias("ta")), on="doc_a")
+        .join(
+            texts.select(F.col("doc_id").alias("doc_b"),
+                         F.col("text").alias("tb")), on="doc_b")
+        .select(
+            "doc_a", "doc_b", dist.cast("long").alias("edit_dist")
+        )
+        .filter(F.col("edit_dist") >= 0)
+    )
+
+
+SQL_EDIT_DISTANCE_PAIRS = f"""
+WITH {_SHINGLE_CTE}
+SELECT p.doc_a, p.doc_b,
+       CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+FROM pair_inter p
+JOIN documents da ON da.doc_id = p.doc_a
+JOIN documents db ON db.doc_id = p.doc_b
+WHERE levenshtein(da.text, db.text) <= {_EDIT_MAX}
+"""
+
+
 def _doc_bucket() -> Column:
     """Percentile bucket 0..99 of a doc_id: md5-derived, content- and
     partition-independent — the shared primitive behind the
@@ -3472,6 +3585,8 @@ QUERIES: dict[str, QueryFn] = {
     "source_mirror_pairs": q_source_mirror_pairs,
     "cross_source_dup_ownership": q_cross_source_dup_ownership,
     "code_clone_classes": q_code_clone_classes,
+    "type2_clone_classes": q_type2_clone_classes,
+    "edit_distance_pairs": q_edit_distance_pairs,
     # dedup via sketch + Hamming LSH (oracle: portable sketches in SQL)
     "simhash_hamming_pairs": q_simhash_hamming_pairs,
     "gradsign_hamming_pairs_portable": q_gradsign_hamming_pairs_portable,
@@ -3485,7 +3600,6 @@ QUERIES: dict[str, QueryFn] = {
     "doc_fingerprint": q_doc_fingerprint,
     "winnowing_fingerprints": q_winnowing_fingerprints,
     "train_val_test_split": q_train_val_test_split,
-    "stratified_sample": q_stratified_sample,
     "lang_file_counts": q_lang_file_counts,
     "vocab_top_terms": q_vocab_top_terms,
     "dup_rate_by_lang": q_dup_rate_by_lang,
@@ -3498,7 +3612,6 @@ QUERIES: dict[str, QueryFn] = {
     "token_budget_shards": q_token_budget_shards,
     "delta_dedup_new_vs_base": q_delta_dedup_new_vs_base,
     # embeddings / similarity search
-    "embedding_norms": q_embedding_norms,
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
     "embedding_similar_pairs": q_embedding_similar_pairs,
@@ -3511,6 +3624,8 @@ QUERIES: dict[str, QueryFn] = {
     # --- driver window boundary (~50) ---------------------------------
     # relational demos past the window: still oracled + checked by
     # tools/check_oracles.py, redundant with the in-window set above
+    "embedding_norms": q_embedding_norms,
+    "stratified_sample": q_stratified_sample,
     "pricing_summary": q_pricing_summary,
     "events_hourly": q_events_hourly,
     "top_terms_per_doc": q_top_terms_per_doc,
@@ -3552,6 +3667,8 @@ ORACLES: dict[str, str] = {
     "source_mirror_pairs": SQL_SOURCE_MIRROR_PAIRS,
     "cross_source_dup_ownership": SQL_CROSS_SOURCE_DUP_OWNERSHIP,
     "code_clone_classes": SQL_CODE_CLONE_CLASSES,
+    "type2_clone_classes": SQL_TYPE2_CLONE_CLASSES,
+    "edit_distance_pairs": SQL_EDIT_DISTANCE_PAIRS,
     "simhash_hamming_pairs": SQL_SIMHASH_HAMMING_PAIRS,
     "gradsign_hamming_pairs_portable": SQL_GRADSIGN_HAMMING_PAIRS_PORTABLE,
     "simhash_radius_clusters": SQL_SIMHASH_RADIUS_CLUSTERS,

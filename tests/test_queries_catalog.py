@@ -480,6 +480,87 @@ def test_code_clone_classes_type2_canonicalization(spark, tmp_path):
     assert s_full == sorted(tuple(r) for r in o_rows)
 
 
+def _write_docs(spark, tmp_path, forks):
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", 1) for i, t in forks],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+
+def _duck_docs(tmp_path):
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    return con
+
+
+def test_type2_clone_classes_rename_invariance(spark, tmp_path):
+    """A consistent identifier bijection lands two files in one clone
+    class; an inconsistent rename (pattern change) does not; the class
+    key survives comment/case/whitespace noise; cross-engine equal."""
+    from imageduplicatefinder_spark.queries import ORACLES, QUERIES
+
+    forks = [
+        (1, "int a = a + b ; return a"),
+        # consistent rename a->x, b->y: same first-occurrence pattern
+        (2, "int x = x + y ; return x"),
+        # plus comment/case/whitespace noise on top of the rename
+        (3, "INT  q = q + r ;  // note\nreturn q"),
+        # INCONSISTENT: second slot reuses the first identifier
+        (4, "int x = y + y ; return x"),
+        (5, "unrelated words only"),
+    ]
+    _write_docs(spark, tmp_path, forks)
+    s = sorted(
+        (r.clone_id, r.n_members)
+        for r in QUERIES["type2_clone_classes"](spark, str(tmp_path)).collect()
+    )
+    assert s == [(1, 3)]
+    con = _duck_docs(tmp_path)
+    o_rows = con.sql(ORACLES["type2_clone_classes"]).fetchall()
+    assert sorted(tuple(r) for r in o_rows) == sorted(
+        tuple(r)
+        for r in QUERIES["type2_clone_classes"](spark, str(tmp_path)).collect()
+    )
+
+
+def test_edit_distance_pairs_banded_verify(spark, tmp_path):
+    """One-word edits pass the <= _EDIT_MAX verify; a pair sharing a
+    shingle but > _EDIT_MAX apart is dropped; distances are exact and
+    cross-engine equal."""
+    from imageduplicatefinder_spark.queries import ORACLES, QUERIES
+
+    base = "the quick brown fox jumps over the lazy dog today"
+    far = (
+        "the quick brown fox "
+        + "x" * 200  # same leading shingle, way past the band
+    )
+    forks = [
+        (1, base),
+        (2, base.replace("lazy", "hazy")),     # dist 1
+        (3, base.replace("today", "tonight")), # dist 5 (toDAY->toNIGHT)
+        (4, far),
+        (5, "completely different text with no shared shingle at all"),
+    ]
+    _write_docs(spark, tmp_path, forks)
+    s = sorted(
+        (r.doc_a, r.doc_b, r.edit_dist)
+        for r in QUERIES["edit_distance_pairs"](spark, str(tmp_path)).collect()
+    )
+    assert (1, 2, 1) in s
+    assert (1, 3, 5) in s
+    assert all(a != 4 and b != 4 for a, b, _ in s)
+    assert all(d <= 64 for _, _, d in s)
+    con = _duck_docs(tmp_path)
+    o = sorted(tuple(r) for r in con.sql(ORACLES["edit_distance_pairs"]).fetchall())
+    assert s == o
+
+
 def test_dedup_funnel_tiers_remove_in_sequence(spark, tmp_path):
     """Each funnel tier removes exactly its own class of dup: an exact
     copy dies in tier 1, a word reorder in tier 2, a near-dup (one
