@@ -1141,20 +1141,9 @@ def _hex8_to_long_sql(expr: str) -> str:
     return f"({terms})"
 
 
-def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
-    the MOSS scheme): hash every ORDERED word-3-gram, slide a window of
-    _WINNOW_W consecutive gram hashes, keep each window's minimum, emit the
-    distinct selected hashes per doc. Guarantees every shared substring
-    of >= w+k-1 tokens contributes a shared fingerprint — the
-    position-robust fingerprinting primitive (SURVEY text-analysis
-    surface; complements the rolling ``doc_fingerprint``).
-
-    Pure Catalyst array expressions (sequence/transform/slice/
-    array_min) — no shuffle at all except the final explode; the gram
-    hash is md5-based so the DuckDB oracle computes identical values.
-    """
-    docs = load_table(spark, sf_dir, "documents")
+def _winnow_fps(docs: DataFrame) -> DataFrame:
+    """(doc_id, fingerprint): the winnowed fingerprint table both
+    winnowing queries build on (distinct window-min gram hashes)."""
     # materialize the split AND the gram-hash arrays as real columns:
     # Catalyst does not CSE inside HOF lambdas, so inline forms
     # re-evaluate the whole upstream expression per window position
@@ -1177,8 +1166,24 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_WINNOWING_FINGERPRINTS = f"""
-WITH words AS (
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS scheme): hash every ORDERED word-3-gram, slide a window of
+    _WINNOW_W consecutive gram hashes, keep each window's minimum, emit the
+    distinct selected hashes per doc. Guarantees every shared substring
+    of >= w+k-1 tokens contributes a shared fingerprint — the
+    position-robust fingerprinting primitive (SURVEY text-analysis
+    surface; complements the rolling ``doc_fingerprint``).
+
+    Pure Catalyst array expressions (sequence/transform/slice/
+    array_min) — no shuffle at all except the final explode; the gram
+    hash is md5-based so the DuckDB oracle computes identical values.
+    """
+    return _winnow_fps(load_table(spark, sf_dir, "documents"))
+
+
+_WINNOW_CTE = f"""
+words AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
 ),
 grams AS (
@@ -1197,8 +1202,100 @@ mins AS (
     generate_series(1, greatest(len(h) - {_WINNOW_W - 1}, 1)),
     i -> list_min(h[i:i+{_WINNOW_W - 1}])
   )) AS fps FROM hashes
+),
+fpt AS (
+  SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fingerprint FROM mins
 )
-SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fingerprint FROM mins
+"""
+
+SQL_WINNOWING_FINGERPRINTS = f"""
+WITH {_WINNOW_CTE}
+SELECT doc_id, fingerprint FROM fpt
+"""
+
+
+#: minimum MOSS overlap score (shared fingerprints / smaller doc's
+#: fingerprint count, permille) for a pair to be reported
+_WINNOW_MATCH_PERMILLE = 500
+
+
+def q_winnow_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style match pairs over winnowed fingerprints: equi-join
+    docs on shared fingerprints, score each pair by
+    ``shared / min(|fps_a|, |fps_b|)`` (the containment-oriented
+    overlap MOSS reports), keep pairs >= _WINNOW_MATCH_PERMILLE. The
+    end-to-end plagiarism/clone-pair detector the fingerprint table
+    exists for: winnowing guarantees every shared run of >= w+k-1
+    tokens contributes at least one shared fingerprint, so long shared
+    passages cannot be missed.
+
+    Skew: fingerprints shared by > _SHINGLE_DF_CAP docs (boilerplate
+    window minima) are dropped via broadcast anti-join before the
+    self-join — same mega-key defense as the shingle path, same cap in
+    the oracle. Score arithmetic is integer permille (DIV), exact in
+    both engines.
+
+    100 TB: fingerprint table is ~1/(w+1) the size of the gram table
+    (winnowing's expected density), the join is a capped equi-join on a
+    uniform 32-bit key, and the per-doc size table rides the same
+    shuffle — no cartesian anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = _winnow_fps(docs).localCheckpoint(eager=False)
+    hot = (
+        fps.groupBy("fingerprint")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > _SHINGLE_DF_CAP)
+        .select("fingerprint")
+    )
+    fps = fps.join(F.broadcast(hot), on="fingerprint", how="left_anti")
+    fps = fps.localCheckpoint(eager=False)
+    sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n"))
+    inter = (
+        fps.alias("a")
+        .join(fps.alias("b"), on="fingerprint")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"),
+                                F.col("n").alias("n_a")), on="doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                           F.col("n").alias("n_b")), on="doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.col("shared").cast("long").alias("shared"),
+            F.expr("(shared * 1000) DIV least(n_a, n_b)")
+            .cast("long").alias("score_permille"),
+        )
+        .filter(F.col("score_permille") >= _WINNOW_MATCH_PERMILLE)
+    )
+
+
+SQL_WINNOW_MATCH_PAIRS = f"""
+WITH {_WINNOW_CTE},
+hot AS (
+  SELECT fingerprint FROM fpt GROUP BY fingerprint
+  HAVING count(*) > {_SHINGLE_DF_CAP}
+),
+kept AS (
+  SELECT * FROM fpt WHERE fingerprint NOT IN (SELECT fingerprint FROM hot)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM kept a JOIN kept b ON a.fingerprint = b.fingerprint
+                         AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, CAST(i.shared AS BIGINT) AS shared,
+       CAST((i.shared * 1000) // least(sa.n, sb.n) AS BIGINT) AS score_permille
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE (i.shared * 1000) // least(sa.n, sb.n) >= {_WINNOW_MATCH_PERMILLE}
 """
 
 
@@ -3599,8 +3696,8 @@ QUERIES: dict[str, QueryFn] = {
     "lang_id_heuristic": q_lang_id_heuristic,
     "doc_fingerprint": q_doc_fingerprint,
     "winnowing_fingerprints": q_winnowing_fingerprints,
+    "winnow_match_pairs": q_winnow_match_pairs,
     "train_val_test_split": q_train_val_test_split,
-    "lang_file_counts": q_lang_file_counts,
     "vocab_top_terms": q_vocab_top_terms,
     "dup_rate_by_lang": q_dup_rate_by_lang,
     "duplicate_ngram_coverage": q_duplicate_ngram_coverage,
@@ -3624,6 +3721,7 @@ QUERIES: dict[str, QueryFn] = {
     # --- driver window boundary (~50) ---------------------------------
     # relational demos past the window: still oracled + checked by
     # tools/check_oracles.py, redundant with the in-window set above
+    "lang_file_counts": q_lang_file_counts,
     "embedding_norms": q_embedding_norms,
     "stratified_sample": q_stratified_sample,
     "pricing_summary": q_pricing_summary,
@@ -3669,6 +3767,7 @@ ORACLES: dict[str, str] = {
     "code_clone_classes": SQL_CODE_CLONE_CLASSES,
     "type2_clone_classes": SQL_TYPE2_CLONE_CLASSES,
     "edit_distance_pairs": SQL_EDIT_DISTANCE_PAIRS,
+    "winnow_match_pairs": SQL_WINNOW_MATCH_PAIRS,
     "simhash_hamming_pairs": SQL_SIMHASH_HAMMING_PAIRS,
     "gradsign_hamming_pairs_portable": SQL_GRADSIGN_HAMMING_PAIRS_PORTABLE,
     "simhash_radius_clusters": SQL_SIMHASH_RADIUS_CLUSTERS,

@@ -97,6 +97,11 @@ def test_no_cartesian_in_any_dedup_similarity_query(spark):
         "quarantine_plan",
         "duplicate_ngram_coverage",
         "chunk_dedup_corpus",
+        "edit_distance_pairs",
+        "type2_clone_classes",
+        "code_clone_classes",
+        "winnowing_fingerprints",
+        "winnow_match_pairs",
     ):
         plan = plan_of(QUERIES[name](spark, SF_DIR))
         assert "CartesianProduct" not in plan, name

@@ -561,6 +561,36 @@ def test_edit_distance_pairs_banded_verify(spark, tmp_path):
     assert s == o
 
 
+def test_winnow_match_pairs_shared_passage_guarantee(spark, tmp_path):
+    """Winnowing's guarantee: a shared token run of >= w+k-1 tokens
+    yields a shared fingerprint, so two docs built around the same long
+    passage match with a high overlap score; disjoint docs don't;
+    cross-engine equal."""
+    from imageduplicatefinder_spark.queries import ORACLES, QUERIES
+
+    passage = " ".join(f"tok{i}" for i in range(30))
+    forks = [
+        (1, passage),
+        (2, "intro words first " + passage),        # same passage, shifted
+        (3, " ".join(f"other{i}" for i in range(30))),
+        (4, "tiny"),
+    ]
+    _write_docs(spark, tmp_path, forks)
+    s = sorted(
+        tuple(r)
+        for r in QUERIES["winnow_match_pairs"](spark, str(tmp_path)).collect()
+    )
+    pairs = {(a, b) for a, b, *_ in s}
+    assert (1, 2) in pairs
+    assert all(3 not in p and 4 not in p for p in pairs)
+    # doc 1's fingerprints are a subset of doc 2's -> containment 1000
+    row = next(r for r in s if (r[0], r[1]) == (1, 2))
+    assert row[3] == 1000
+    con = _duck_docs(tmp_path)
+    o = sorted(tuple(r) for r in con.sql(ORACLES["winnow_match_pairs"]).fetchall())
+    assert s == o
+
+
 def test_dedup_funnel_tiers_remove_in_sequence(spark, tmp_path):
     """Each funnel tier removes exactly its own class of dup: an exact
     copy dies in tier 1, a word reorder in tier 2, a near-dup (one
