@@ -140,6 +140,10 @@ def main() -> None:
         "dedup_funnel_stats",
         "source_mirror_pairs",
         "cross_source_dup_ownership",
+        "code_clone_classes",
+        "type2_clone_classes",
+        "edit_distance_pairs",
+        "winnow_match_pairs",
     ):
         timed(q, lambda q=q: QUERIES[q](spark, sf_dir).count(), runs=2)
 
