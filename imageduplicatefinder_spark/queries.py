@@ -1214,6 +1214,138 @@ SELECT doc_id, fingerprint FROM fpt
 """
 
 
+#: portable-minhash banding config: the SQL-expressible twin of the
+#: production 64x2 MinHash LSH (operators/lsh.py) runs 16 bands x 2
+#: rows = 32 md5-derived permutations — same scheme, same s-curve
+#: family (collision threshold (1/16)^(1/2) ~ 0.25), scaled down so
+#: the per-shingle hash count stays oracle-tractable in BOTH engines.
+_MINHASH_PORTABLE_BANDS = 16
+_MINHASH_PORTABLE_ROWS = 2
+
+
+def q_minhash_band_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable MinHash LSH candidate pairs: per doc, 32
+    md5-derived min-hash permutations over the distinct word-3-gram
+    shingle set; per band of 2 rows, an md5 band key; docs sharing a
+    band key are candidates (counted per pair as n_shared_bands).
+    The cross-engine-checkable twin of the production Arrow-vectorized
+    MinHash kernel (operators/lsh.py — 64x2, xxhash permutations):
+    identical banding ALGEBRA, portable hash family, so the driver's
+    DuckDB gate pins the J2 candidate-generation semantics that the
+    production path covers with recall pytests only.
+
+    Hot band keys (> _SHINGLE_DF_CAP docs — exact-dup mega-families
+    and boilerplate) are dropped via broadcast anti-join before the
+    self-join, mirroring the production salted band cap; the cap is
+    part of the query's semantics and applied identically in the
+    oracle.
+
+    100 TB: the signature build is row-local (32 linear array
+    traversals per doc, no shuffle); band keys are uniform 16-byte
+    md5s, so the equi-join shuffles evenly; with the cap, no join key
+    exceeds the cap's group size. The production path additionally
+    carries drop accounting — this twin exists for the oracle gate,
+    not as the at-scale kernel."""
+    B, R = _MINHASH_PORTABLE_BANDS, _MINHASH_PORTABLE_ROWS
+    docs = load_table(spark, sf_dir, "documents")
+    staged = docs.select("doc_id", _words().alias("w")).select(
+        "doc_id", _shingles_expr(F.col("w")).alias("sh")
+    )
+
+    def perm_min(i: int) -> Column:
+        return F.array_min(
+            F.transform(
+                F.col("sh"),
+                lambda x: _hex8_to_long_spark(
+                    F.md5(F.concat(F.lit(f"{i}:"), x))
+                ),
+            )
+        )
+
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("long").alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[perm_min(b * R + r).cast("string") for r in range(R)],
+                    )
+                ).alias("key"),
+            )
+            for b in range(B)
+        ]
+    )
+    bt = (
+        staged.select("doc_id", F.explode(bands).alias("bk"))
+        .select("doc_id", F.col("bk.band").alias("band"),
+                F.col("bk.key").alias("key"))
+        .localCheckpoint(eager=False)
+    )
+    hot = (
+        bt.groupBy("band", "key")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > _SHINGLE_DF_CAP)
+        .select("band", "key")
+    )
+    bt = bt.join(F.broadcast(hot), on=["band", "key"], how="left_anti")
+    return (
+        bt.alias("a")
+        .join(bt.alias("b"), on=["band", "key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("long").alias("n_shared_bands"))
+    )
+
+
+SQL_MINHASH_BAND_PAIRS_PORTABLE = f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+    generate_series(1, greatest(len(w) - 2, 1)),
+    i -> coalesce(w[i], '') || ' ' || coalesce(w[i+1], '') || ' ' || coalesce(w[i+2], '')
+  )) AS sh FROM words
+),
+mins AS (
+  SELECT doc_id, list_transform(
+    generate_series(0, {_MINHASH_PORTABLE_BANDS * _MINHASH_PORTABLE_ROWS - 1}),
+    i -> list_min(list_transform(
+      sh, x -> {_hex8_to_long_sql("md5(CAST(i AS VARCHAR) || ':' || x)")}
+    ))
+  ) AS m FROM sh
+),
+bands AS (
+  SELECT doc_id, CAST(b.band AS BIGINT) AS band,
+         md5({" || '|' || ".join(
+             f"CAST(m[{_MINHASH_PORTABLE_ROWS} * b.band + {r + 1}] AS VARCHAR)"
+             for r in range(_MINHASH_PORTABLE_ROWS)
+         )}) AS key
+  FROM mins, (
+    SELECT unnest(generate_series(0, {_MINHASH_PORTABLE_BANDS - 1})) AS band
+  ) b
+),
+hot AS (
+  SELECT band, key FROM bands GROUP BY band, key
+  HAVING count(*) > {_SHINGLE_DF_CAP}
+),
+kept AS (
+  SELECT * FROM bands
+  WHERE NOT EXISTS (
+    SELECT 1 FROM hot h WHERE h.band = bands.band AND h.key = bands.key
+  )
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared_bands
+FROM kept a JOIN kept b ON a.band = b.band AND a.key = b.key
+                       AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+"""
+
+
 #: minimum MOSS overlap score (shared fingerprints / smaller doc's
 #: fingerprint count, permille) for a pair to be reported
 _WINNOW_MATCH_PERMILLE = 500
@@ -3671,6 +3803,7 @@ QUERIES: dict[str, QueryFn] = {
     "ngram_jaccard_prefix_pairs": q_ngram_jaccard_prefix_pairs,
     "ngram_containment_pairs": q_ngram_containment_pairs,
     "char_ngram_jaccard_pairs": q_char_ngram_jaccard_pairs,
+    "minhash_band_pairs_portable": q_minhash_band_pairs_portable,
     "containment_confirmed": q_containment_confirmed,
     "containment_confirmed_sa": q_containment_confirmed_sa,
     "dedup_keeper_plan": q_dedup_keeper_plan,
@@ -3697,7 +3830,6 @@ QUERIES: dict[str, QueryFn] = {
     "doc_fingerprint": q_doc_fingerprint,
     "winnowing_fingerprints": q_winnowing_fingerprints,
     "winnow_match_pairs": q_winnow_match_pairs,
-    "train_val_test_split": q_train_val_test_split,
     "vocab_top_terms": q_vocab_top_terms,
     "dup_rate_by_lang": q_dup_rate_by_lang,
     "duplicate_ngram_coverage": q_duplicate_ngram_coverage,
@@ -3721,6 +3853,7 @@ QUERIES: dict[str, QueryFn] = {
     # --- driver window boundary (~50) ---------------------------------
     # relational demos past the window: still oracled + checked by
     # tools/check_oracles.py, redundant with the in-window set above
+    "train_val_test_split": q_train_val_test_split,
     "lang_file_counts": q_lang_file_counts,
     "embedding_norms": q_embedding_norms,
     "stratified_sample": q_stratified_sample,
@@ -3768,6 +3901,7 @@ ORACLES: dict[str, str] = {
     "type2_clone_classes": SQL_TYPE2_CLONE_CLASSES,
     "edit_distance_pairs": SQL_EDIT_DISTANCE_PAIRS,
     "winnow_match_pairs": SQL_WINNOW_MATCH_PAIRS,
+    "minhash_band_pairs_portable": SQL_MINHASH_BAND_PAIRS_PORTABLE,
     "simhash_hamming_pairs": SQL_SIMHASH_HAMMING_PAIRS,
     "gradsign_hamming_pairs_portable": SQL_GRADSIGN_HAMMING_PAIRS_PORTABLE,
     "simhash_radius_clusters": SQL_SIMHASH_RADIUS_CLUSTERS,

@@ -3,7 +3,8 @@
 sf0.01, compare row count, schema (column names), and an
 order-insensitive value hash (columns sorted by name, rows sorted).
 
-Usage: python tools/check_oracles.py [sf_dir]
+Usage: python tools/check_oracles.py [sf_dir] [query_name ...]
+(extra args restrict the run to the named queries)
 """
 
 from __future__ import annotations
@@ -39,6 +40,7 @@ def norm_hash(df: pd.DataFrame) -> str:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
     import __spark_entry__ as entrymod
     from imageduplicatefinder_spark.session import get_spark
 
@@ -51,6 +53,8 @@ def main() -> int:
         )
 
     qs = entrymod.queries()
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
