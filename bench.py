@@ -34,6 +34,14 @@ CKPT_MODE = os.environ.get("SPARK_GRAFT_CKPT_MODE", "disk")
 # exact-dup collapse: the pipeline fingerprints only distinct content,
 # so copies are nearly free (the at-scale design win).
 DISTINCT_MODE = os.environ.get("SPARK_GRAFT_BENCH_DISTINCT", "0") == "1"
+# input partitioning for the replica builder: the sf0.1 documents
+# parquet is a single small file, so the scan+explode otherwise runs
+# as ONE task — a serial leg every downstream stage's map side inherits
+# at every parallelism level. A real cluster reading 100 TB gets scan
+# parallelism from file splits for free; the replica generator has to
+# synthesize it. Fixed (not cpus-derived) so N and 4N runs see the
+# identical input layout.
+REPLICA_PARTS = int(os.environ.get("SPARK_GRAFT_REPLICA_PARTS", "64"))
 
 
 def build_replicated_documents(spark, sf_dir: str, copies: int,
@@ -45,7 +53,9 @@ def build_replicated_documents(spark, sf_dir: str, copies: int,
     from imageduplicatefinder_spark.queries import _docs_as_input_hint
 
     base = _docs_as_input_hint(spark, sf_dir)
-    rep = base.withColumn(
+    # repartition BEFORE the explode: a 5k-row shuffle buys every copy
+    # of every doc a home across REPLICA_PARTS partitions (see above)
+    rep = base.repartition(REPLICA_PARTS).withColumn(
         "copy", F.explode(F.sequence(F.lit(0), F.lit(copies - 1)))
     )
     content = F.col("content")
@@ -78,8 +88,18 @@ def main() -> None:
     from imageduplicatefinder_spark.queries import QUERIES
     from imageduplicatefinder_spark.session import get_spark
 
+    # shuffle partitions default to the core count, but scaling runs
+    # override with a FIXED width (SPARK_GRAFT_SHUFFLE_PARTS): a real
+    # cluster sizes spark.sql.shuffle.partitions to the DATA, not to the
+    # executor count, so the N-vs-4N comparison should hold it constant
+    # — otherwise the low level runs wider per-partition work and the
+    # ratio measures the partitioning config, not the engine
+    shuffle_parts = int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTS", str(cpus))
+    )
     spark = get_spark(
-        app_name="bench", master=f"local[{cpus}]", shuffle_partitions=cpus
+        app_name="bench", master=f"local[{cpus}]",
+        shuffle_partitions=shuffle_parts,
     )
 
     timings: dict[str, float] = {}

@@ -2159,6 +2159,279 @@ WHERE levenshtein(da.text, db.text) <= {_EDIT_MAX}
 """
 
 
+#: code-quality gate thresholds (StarCoder/The-Stack-style file
+#: filters): files with pathological line shape, low alphanumeric
+#: density, or an auto-generation marker are dropped before dedup —
+#: they are machine output, not training signal
+_CQ_MAX_LINE_LEN = 1000
+_CQ_MAX_AVG_LINE_MILLI = 100_000  # avg line length <= 100 chars
+_CQ_MIN_ALNUM_MILLI = 250         # >= 25% alphanumeric characters
+_CQ_AUTOGEN = "(?i)auto[- ]?generated|do not edit|generated by"
+
+
+def q_code_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file code-quality gate — the StarCoder/The-Stack-style
+    pre-dedup filter for source-code corpora: line-shape stats (count,
+    max length, milli-average), alphanumeric character density, and an
+    auto-generation-marker flag, folded into a keep/drop verdict.
+    Minified bundles (one enormous line), binary-ish blobs (low alnum
+    density), and generated files are dropped before the expensive
+    fingerprint stage ever sees them.
+
+    All ratios are integer milli values; the average line length uses
+    ``length(text) - (n_lines - 1)`` (total chars minus newline chars)
+    so neither engine evaluates a per-line sum. The autogen regex
+    avoids Java-vs-RE2 divergent syntax ((?i) and alternation only).
+
+    100 TB: row-local — one scan, no shuffle, no Python; the gate is a
+    pushdown-able predicate feeding the pipeline's ingest filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    max_line = F.array_max(F.transform(lines, F.length))
+    sum_line_chars = F.length(t) - (n_lines - F.lit(1))
+    avg_milli = F.floor(sum_line_chars * 1000.0 / n_lines).cast("long")
+    alnum = F.length(F.regexp_replace(t, "[^a-zA-Z0-9]", ""))
+    alnum_milli = F.floor(
+        alnum * 1000.0 / F.greatest(F.length(t), F.lit(1))
+    ).cast("long")
+    autogen = t.rlike(_CQ_AUTOGEN)
+    return docs.select(
+        "doc_id",
+        n_lines.cast("long").alias("n_lines"),
+        max_line.cast("long").alias("max_line_len"),
+        avg_milli.alias("avg_line_milli"),
+        alnum_milli.alias("alnum_milli"),
+        autogen.alias("is_autogen"),
+        F.when(
+            (max_line <= _CQ_MAX_LINE_LEN)
+            & (avg_milli <= _CQ_MAX_AVG_LINE_MILLI)
+            & (alnum_milli >= _CQ_MIN_ALNUM_MILLI)
+            & ~autogen,
+            F.lit("keep"),
+        ).otherwise(F.lit("drop")).alias("verdict"),
+    )
+
+
+SQL_CODE_QUALITY_GATE = f"""
+WITH m AS (
+  SELECT doc_id,
+         len(string_split(coalesce(text, ''), chr(10))) AS n_lines,
+         list_max(list_transform(
+             string_split(coalesce(text, ''), chr(10)), x -> len(x)
+         )) AS max_line_len,
+         len(coalesce(text, '')) AS n_chars,
+         len(regexp_replace(coalesce(text, ''), '[^a-zA-Z0-9]', '', 'g'))
+           AS n_alnum,
+         regexp_matches(coalesce(text, ''), '{_CQ_AUTOGEN}') AS is_autogen
+  FROM documents
+),
+s AS (
+  SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+         CAST(max_line_len AS BIGINT) AS max_line_len,
+         CAST(floor((n_chars - (n_lines - 1)) * 1000.0 / n_lines)
+           AS BIGINT) AS avg_line_milli,
+         CAST(floor(n_alnum * 1000.0 / greatest(n_chars, 1))
+           AS BIGINT) AS alnum_milli,
+         is_autogen
+  FROM m
+)
+SELECT doc_id, n_lines, max_line_len, avg_line_milli, alnum_milli,
+       is_autogen,
+       CASE WHEN max_line_len <= {_CQ_MAX_LINE_LEN}
+             AND avg_line_milli <= {_CQ_MAX_AVG_LINE_MILLI}
+             AND alnum_milli >= {_CQ_MIN_ALNUM_MILLI}
+             AND NOT is_autogen
+            THEN 'keep' ELSE 'drop' END AS verdict
+FROM s
+"""
+
+
+#: function-boundary keywords: a chunk starts at each occurrence of one
+#: of these tokens (word-boundary matched), mirroring how The Stack v2
+#: deduplicates at function granularity rather than whole files
+_FN_BOUNDARY = "def|function|fn|class|struct|public|private|static"
+#: chunk separator sentinel injected before each boundary keyword
+#: (record separator — cannot appear in text-payload corpora)
+_FN_SENTINEL = "\x1e"
+
+
+def q_function_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function-granularity duplication report: each file is split into
+    chunks at function/class boundary keywords (``_FN_BOUNDARY``), each
+    chunk md5-hashed, and per file the query reports how many of its
+    chunks also occur in at least one OTHER file — the signal behind
+    function-level dedup (The Stack v2 trains on deduplicated
+    functions, not deduplicated files, because utility functions are
+    pasted across repos far more often than whole files).
+
+    Chunking is regex-portable: a sentinel (record separator) is
+    injected before each boundary keyword, then the text is split on
+    the sentinel — no lookahead, which RE2 (DuckDB) lacks. Files with
+    no boundary keyword are one chunk (whole-file granularity
+    degrades to exact dedup). Empty files have zero chunks and report
+    zeros via the left join.
+
+    100 TB: chunking is row-local; the only shuffles are the groupBy
+    on the 16-byte chunk hash (uniform) and the broadcast-able join
+    of per-doc stats against the shared-chunk-hash set. Hot chunks
+    (the empty function, a pasted license header) are single groupBy
+    keys with O(1) aggregate state — no quadratic pair emission,
+    because the report counts membership, not pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    marked = F.regexp_replace(
+        t, f"\\b({_FN_BOUNDARY})\\b", _FN_SENTINEL + "$1"
+    )
+    chunks = F.filter(
+        F.transform(F.split(marked, _FN_SENTINEL), F.trim),
+        lambda x: x != "",
+    )
+    ct = docs.select(
+        "doc_id", F.explode(chunks).alias("chunk")
+    ).select("doc_id", F.md5("chunk").alias("h"))
+    per_doc = ct.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.count_distinct("h").cast("long").alias("n_distinct_chunks"),
+    )
+    shared = (
+        ct.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    n_shared = (
+        ct.join(shared, on="h")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_shared_chunks"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, on="doc_id", how="left")
+        .join(n_shared, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
+            F.coalesce("n_distinct_chunks", F.lit(0)).cast("long")
+            .alias("n_distinct_chunks"),
+            F.coalesce("n_shared_chunks", F.lit(0)).cast("long")
+            .alias("n_shared_chunks"),
+            F.floor(
+                F.coalesce("n_shared_chunks", F.lit(0))
+                * 1000.0
+                / F.greatest(F.coalesce("n_chunks", F.lit(0)), F.lit(1))
+            ).cast("long").alias("shared_permille"),
+        )
+    )
+
+
+SQL_FUNCTION_DUP_STATS = f"""
+WITH ct AS (
+  SELECT doc_id,
+         md5(c.chunk) AS h
+  FROM documents,
+       LATERAL (
+         SELECT unnest(list_filter(
+           list_transform(
+             string_split(
+               regexp_replace(coalesce(text, ''),
+                 '\\b({_FN_BOUNDARY})\\b', chr(30) || '\\1', 'g'),
+               chr(30)),
+             x -> trim(x)),
+           x -> x != '')) AS chunk
+       ) c
+),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_chunks
+  FROM ct GROUP BY doc_id
+),
+shared AS (
+  SELECT h FROM ct GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+),
+ns AS (
+  SELECT ct.doc_id, CAST(count(*) AS BIGINT) AS n_shared_chunks
+  FROM ct JOIN shared USING (h) GROUP BY ct.doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_chunks, 0) AS n_chunks,
+       coalesce(p.n_distinct_chunks, 0) AS n_distinct_chunks,
+       coalesce(ns.n_shared_chunks, 0) AS n_shared_chunks,
+       CAST(floor(coalesce(ns.n_shared_chunks, 0) * 1000.0
+             / greatest(coalesce(p.n_chunks, 0), 1)) AS BIGINT)
+         AS shared_permille
+FROM documents d
+LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+LEFT JOIN ns ON ns.doc_id = d.doc_id
+"""
+
+
+#: license-marker regexes over the file head (first 400 chars, where
+#: license headers live); (?i) + alternation only — Java/RE2 portable
+_LIC_HEAD_CHARS = 400
+_LIC_MARKERS = {
+    "mit": "(?i)mit license|permission is hereby granted",
+    "apache": "(?i)apache license",
+    "gpl": "(?i)general public license|gnu gpl",
+    "bsd": "(?i)bsd license|redistribution and use in source",
+}
+
+
+def q_license_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language license profile — the compliance gate of a code
+    training pipeline (The Stack keeps permissive-licensed files
+    only): match well-known license-header phrases against each
+    file's head and tally per language how many files carry each
+    family plus how many carry none.
+
+    100 TB: row-local regex over a 400-char prefix (no full-text
+    scan of big files at the matcher level), then a partial-agg
+    groupBy on the low-cardinality lang key — the aggregate is
+    map-side-combined so the shuffle carries one row per (partition,
+    lang)."""
+    docs = load_table(spark, sf_dir, "documents")
+    head = F.substring(F.coalesce(F.col("text"), F.lit("")), 1,
+                       _LIC_HEAD_CHARS)
+    flags = {k: head.rlike(rx) for k, rx in _LIC_MARKERS.items()}
+    none_flag = ~flags["mit"] & ~flags["apache"] & ~flags["gpl"] & ~flags["bsd"]
+    return (
+        docs.select("lang", *[v.alias(f"is_{k}") for k, v in flags.items()],
+                    none_flag.alias("is_none"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            *[
+                F.sum(F.col(f"is_{k}").cast("long")).cast("long")
+                .alias(f"n_{k}")
+                for k in _LIC_MARKERS
+            ],
+            F.sum(F.col("is_none").cast("long")).cast("long")
+            .alias("n_unlicensed"),
+        )
+    )
+
+
+SQL_LICENSE_PROFILE = f"""
+WITH h AS (
+  SELECT lang,
+         substr(coalesce(text, ''), 1, {_LIC_HEAD_CHARS}) AS head
+  FROM documents
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       {", ".join(
+           "CAST(sum(CASE WHEN regexp_matches(head, '" + rx
+           + "') THEN 1 ELSE 0 END) AS BIGINT) AS n_" + k
+           for k, rx in _LIC_MARKERS.items()
+       )},
+       CAST(sum(CASE WHEN {" AND ".join(
+           "NOT regexp_matches(head, '" + rx + "')"
+           for rx in _LIC_MARKERS.values()
+       )} THEN 1 ELSE 0 END) AS BIGINT) AS n_unlicensed
+FROM h GROUP BY lang
+"""
+
+
 def _doc_bucket() -> Column:
     """Percentile bucket 0..99 of a doc_id: md5-derived, content- and
     partition-independent — the shared primitive behind the
@@ -3817,6 +4090,9 @@ QUERIES: dict[str, QueryFn] = {
     "code_clone_classes": q_code_clone_classes,
     "type2_clone_classes": q_type2_clone_classes,
     "edit_distance_pairs": q_edit_distance_pairs,
+    "function_dup_stats": q_function_dup_stats,
+    "code_quality_gate": q_code_quality_gate,
+    "license_profile": q_license_profile,
     # dedup via sketch + Hamming LSH (oracle: portable sketches in SQL)
     "simhash_hamming_pairs": q_simhash_hamming_pairs,
     "gradsign_hamming_pairs_portable": q_gradsign_hamming_pairs_portable,
@@ -3830,13 +4106,11 @@ QUERIES: dict[str, QueryFn] = {
     "doc_fingerprint": q_doc_fingerprint,
     "winnowing_fingerprints": q_winnowing_fingerprints,
     "winnow_match_pairs": q_winnow_match_pairs,
-    "vocab_top_terms": q_vocab_top_terms,
     "dup_rate_by_lang": q_dup_rate_by_lang,
     "duplicate_ngram_coverage": q_duplicate_ngram_coverage,
     "chunk_dedup_corpus": q_chunk_dedup_corpus,
     "decontaminate_vs_eval": q_decontaminate_vs_eval,
     "pii_redaction": q_pii_redaction,
-    "bpe_token_counts": q_bpe_token_counts,
     "unigram_logprob_quality": q_unigram_logprob_quality,
     "token_budget_shards": q_token_budget_shards,
     "delta_dedup_new_vs_base": q_delta_dedup_new_vs_base,
@@ -3854,6 +4128,8 @@ QUERIES: dict[str, QueryFn] = {
     # relational demos past the window: still oracled + checked by
     # tools/check_oracles.py, redundant with the in-window set above
     "train_val_test_split": q_train_val_test_split,
+    "vocab_top_terms": q_vocab_top_terms,
+    "bpe_token_counts": q_bpe_token_counts,
     "lang_file_counts": q_lang_file_counts,
     "embedding_norms": q_embedding_norms,
     "stratified_sample": q_stratified_sample,
@@ -3900,6 +4176,9 @@ ORACLES: dict[str, str] = {
     "code_clone_classes": SQL_CODE_CLONE_CLASSES,
     "type2_clone_classes": SQL_TYPE2_CLONE_CLASSES,
     "edit_distance_pairs": SQL_EDIT_DISTANCE_PAIRS,
+    "function_dup_stats": SQL_FUNCTION_DUP_STATS,
+    "code_quality_gate": SQL_CODE_QUALITY_GATE,
+    "license_profile": SQL_LICENSE_PROFILE,
     "winnow_match_pairs": SQL_WINNOW_MATCH_PAIRS,
     "minhash_band_pairs_portable": SQL_MINHASH_BAND_PAIRS_PORTABLE,
     "simhash_hamming_pairs": SQL_SIMHASH_HAMMING_PAIRS,

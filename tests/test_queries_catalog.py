@@ -688,3 +688,76 @@ def test_prefix_filter_equals_full_shingle_join(spark):
             QUERIES["ngram_jaccard_prefix_pairs"](spark, SF_DIR).collect()}
     assert full == pref
     assert full  # non-vacuous: sf0.001 has planted near-dup families
+
+
+def _write_code_docs(spark, tmp_path):
+    """Planted mini code corpus: a shared utility function pasted into
+    two files, a licensed Java file, an auto-generated minified blob,
+    and NULL/empty degenerate rows."""
+    nl = "\n"
+    rows = [
+        (1, f"def foo(): return 1{nl}def bar(): return 2", "py"),
+        (2, f"def foo(): return 1{nl}def baz(): return 3", "py"),
+        (3, f"// MIT License{nl}public class A {{ private int x; }}",
+         "java"),
+        (4, f"AUTO-GENERATED do not edit{nl}" + "x" * 2000, "py"),
+        (5, None, "go"),
+        (6, "", "go"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, lang, "s", 1) for i, t, lang in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+
+def test_code_quality_gate_cross_engine(spark, tmp_path):
+    """The autogen/minified blob and the degenerate rows are dropped,
+    real code is kept, and every stat matches DuckDB exactly."""
+    _write_code_docs(spark, tmp_path)
+    s = sorted(tuple(r) for r in
+               QUERIES["code_quality_gate"](spark, str(tmp_path)).collect())
+    con = _duck_docs(tmp_path)
+    o = sorted(tuple(r) for r in
+               con.sql(ORACLES["code_quality_gate"]).fetchall())
+    assert s == o
+    verdicts = {r[0]: r[-1] for r in s}
+    assert verdicts == {1: "keep", 2: "keep", 3: "keep",
+                        4: "drop", 5: "drop", 6: "drop"}
+    autogen = {r[0]: r[-2] for r in s}
+    assert autogen[4] is True and autogen[1] is False
+
+
+def test_function_dup_stats_shared_chunk(spark, tmp_path):
+    """The pasted ``def foo`` chunk is shared between docs 1 and 2
+    (500 permille each); no other doc shares chunks; empty/NULL docs
+    report zero chunks; cross-engine equal."""
+    _write_code_docs(spark, tmp_path)
+    s = sorted(tuple(r) for r in
+               QUERIES["function_dup_stats"](spark, str(tmp_path)).collect())
+    con = _duck_docs(tmp_path)
+    o = sorted(tuple(r) for r in
+               con.sql(ORACLES["function_dup_stats"]).fetchall())
+    assert s == o
+    by_doc = {r[0]: r[1:] for r in s}
+    assert by_doc[1] == (2, 2, 1, 500)
+    assert by_doc[2] == (2, 2, 1, 500)
+    assert by_doc[3][2] == 0          # licensed file shares nothing
+    assert by_doc[5] == (0, 0, 0, 0)  # NULL text
+    assert by_doc[6] == (0, 0, 0, 0)  # empty text
+
+
+def test_license_profile_tallies(spark, tmp_path):
+    """MIT marker in the java head is tallied; unlicensed counts fill
+    the remainder; cross-engine equal."""
+    _write_code_docs(spark, tmp_path)
+    s = sorted(tuple(r) for r in
+               QUERIES["license_profile"](spark, str(tmp_path)).collect())
+    con = _duck_docs(tmp_path)
+    o = sorted(tuple(r) for r in
+               con.sql(ORACLES["license_profile"]).fetchall())
+    assert s == o
+    by_lang = {r[0]: r[1:] for r in s}
+    assert by_lang["java"] == (1, 1, 0, 0, 0, 0)  # 1 doc, MIT, licensed
+    assert by_lang["py"] == (3, 0, 0, 0, 0, 3)
+    assert by_lang["go"] == (2, 0, 0, 0, 0, 2)

@@ -51,10 +51,19 @@ def _cpu_ticks() -> tuple[int, int]:
 SHUFFLE_TMPFS = os.environ.get("SPARK_GRAFT_SHUFFLE_TMPFS", "1") == "1"
 
 
+#: both levels run the SAME shuffle-partition count (default 32): a
+#: real cluster sizes spark.sql.shuffle.partitions to the data volume,
+#: which is identical at N and 4N executors — deriving it from the core
+#: count (bench.py's default) would hand the low level different
+#: per-partition work and measure the config, not the engine.
+SHUFFLE_PARTS = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTS", "32")
+
+
 def _run_once(cpus: int, sf_dir: str) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
+    env["SPARK_GRAFT_SHUFFLE_PARTS"] = SHUFFLE_PARTS
     if SHUFFLE_TMPFS:
         env["SPARK_LOCAL_DIRS"] = "/dev/shm/spark_graft_shuffle"
     s0, t0 = _cpu_ticks()
@@ -69,8 +78,7 @@ def _run_once(cpus: int, sf_dir: str) -> dict:
     return rec
 
 
-def run(cpus: int, sf_dir: str) -> dict:
-    runs = [_run_once(cpus, sf_dir) for _ in range(N_RUNS)]
+def _best(runs: list[dict]) -> dict:
     key = next(k for k in runs[0]["queries"] if k.startswith("dedup_pipeline"))
     best = min(runs, key=lambda r: r["queries"][key])
     best["all_walls"] = [r["queries"][key] for r in runs]
@@ -83,8 +91,16 @@ def main() -> None:
     n_low = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     n_high = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     factor = n_high / n_low
-    r_low = run(n_low, sf_dir)
-    r_high = run(n_high, sf_dir)
+    # INTERLEAVE the levels (low, high, low, high, ...): the shared
+    # host's noise comes in multi-minute windows, so running all low
+    # legs then all high legs lets one window poison one level and
+    # fabricate (or destroy) a scaling story; alternating exposes both
+    # levels to the same weather before best-of is taken
+    lows, highs = [], []
+    for _ in range(N_RUNS):
+        lows.append(_run_once(n_low, sf_dir))
+        highs.append(_run_once(n_high, sf_dir))
+    r_low, r_high = _best(lows), _best(highs)
     key = next(k for k in r_low["queries"] if k.startswith("dedup_pipeline"))
     t_low, t_high = r_low["queries"][key], r_high["queries"][key]
     speedup = t_low / t_high

@@ -29,8 +29,10 @@ def main() -> None:
     replicate = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     mode = os.environ.get("SPARK_GRAFT_CKPT_MODE", "memory")
+    shuffle_parts = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTS", str(cpus)))
     spark = get_spark(app_name="stage_breakdown",
-                      master=f"local[{cpus}]", shuffle_partitions=cpus)
+                      master=f"local[{cpus}]",
+                      shuffle_partitions=shuffle_parts)
     docs = build_replicated_documents(spark, sf_dir, replicate,
                                       distinct=True).cache()
     n = docs.count()
