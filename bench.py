@@ -216,6 +216,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "cpus": cpus,
+                "shuffle_partitions": shuffle_parts,
+                "replica_parts": REPLICA_PARTS,
                 "per_query": "min_of_2",
                 "ckpt_mode": CKPT_MODE,
                 "pipeline_docs": n_docs,

@@ -2159,14 +2159,17 @@ WHERE levenshtein(da.text, db.text) <= {_EDIT_MAX}
 """
 
 
-#: code-quality gate thresholds (StarCoder/The-Stack-style file
-#: filters): files with pathological line shape, low alphanumeric
-#: density, or an auto-generation marker are dropped before dedup —
-#: they are machine output, not training signal
-_CQ_MAX_LINE_LEN = 1000
-_CQ_MAX_AVG_LINE_MILLI = 100_000  # avg line length <= 100 chars
-_CQ_MIN_ALNUM_MILLI = 250         # >= 25% alphanumeric characters
-_CQ_AUTOGEN = "(?i)auto[- ]?generated|do not edit|generated by"
+#: code-quality gate thresholds/regex: single-sourced from
+#: functions/quality.py (shared with the pipeline's optional ingest
+#: filter, DedupConfig.quality_gate) so the catalog query, its DuckDB
+#: oracle, and the pipeline can never disagree on what "keep" means
+from imageduplicatefinder_spark.functions.quality import (  # noqa: E402
+    AUTOGEN_RE as _CQ_AUTOGEN,
+    MAX_AVG_LINE_MILLI as _CQ_MAX_AVG_LINE_MILLI,
+    MAX_LINE_LEN as _CQ_MAX_LINE_LEN,
+    MIN_ALNUM_MILLI as _CQ_MIN_ALNUM_MILLI,
+    quality_stats as _quality_stats,
+)
 
 
 def q_code_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2186,29 +2189,17 @@ def q_code_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: row-local — one scan, no shuffle, no Python; the gate is a
     pushdown-able predicate feeding the pipeline's ingest filter."""
     docs = load_table(spark, sf_dir, "documents")
-    t = F.coalesce(F.col("text"), F.lit(""))
-    lines = F.split(t, "\n")
-    n_lines = F.size(lines)
-    max_line = F.array_max(F.transform(lines, F.length))
-    sum_line_chars = F.length(t) - (n_lines - F.lit(1))
-    avg_milli = F.floor(sum_line_chars * 1000.0 / n_lines).cast("long")
-    alnum = F.length(F.regexp_replace(t, "[^a-zA-Z0-9]", ""))
-    alnum_milli = F.floor(
-        alnum * 1000.0 / F.greatest(F.length(t), F.lit(1))
-    ).cast("long")
-    autogen = t.rlike(_CQ_AUTOGEN)
+    s = _quality_stats(F.col("text"))
     return docs.select(
         "doc_id",
-        n_lines.cast("long").alias("n_lines"),
-        max_line.cast("long").alias("max_line_len"),
-        avg_milli.alias("avg_line_milli"),
-        alnum_milli.alias("alnum_milli"),
-        autogen.alias("is_autogen"),
+        *[s[k].alias(k) for k in
+          ("n_lines", "max_line_len", "avg_line_milli", "alnum_milli",
+           "is_autogen")],
         F.when(
-            (max_line <= _CQ_MAX_LINE_LEN)
-            & (avg_milli <= _CQ_MAX_AVG_LINE_MILLI)
-            & (alnum_milli >= _CQ_MIN_ALNUM_MILLI)
-            & ~autogen,
+            (s["max_line_len"] <= _CQ_MAX_LINE_LEN)
+            & (s["avg_line_milli"] <= _CQ_MAX_AVG_LINE_MILLI)
+            & (s["alnum_milli"] >= _CQ_MIN_ALNUM_MILLI)
+            & ~s["is_autogen"],
             F.lit("keep"),
         ).otherwise(F.lit("drop")).alias("verdict"),
     )

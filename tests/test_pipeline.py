@@ -297,3 +297,32 @@ def test_pipeline_memory_durability_matches_disk(spark, corpus):
         DedupPipeline(spark, DedupConfig(),
                       checkpoint_dir=tempfile.mkdtemp(),
                       durability="ram")
+
+
+def test_quality_gate_filters_ingest(spark):
+    """With cfg.quality_gate on, minified/autogenerated junk never
+    reaches the hash stage; the surviving twins still cluster; the
+    enabled gate gets its own config hash (checkpoints don't cross)."""
+    body = "alpha beta gamma delta epsilon zeta\n" * 8
+    docs = spark.createDataFrame(
+        [
+            ("r", "a.py", "c1", "py", body),
+            ("r", "b.py", "c2", "py", body),            # exact twin
+            ("r", "gen.py", "c3", "py",
+             "AUTO-GENERATED do not edit\n" + body),    # autogen marker
+            ("r", "min.js", "c4", "js", "x" * 2000),    # minified blob
+        ],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    gated_cfg = DedupConfig(quality_gate=True)
+    res = DedupPipeline(spark, gated_cfg,
+                        checkpoint_dir=tempfile.mkdtemp()).run(docs)
+    hashed = {r.path for r in res.documents_hashed.collect()}
+    assert hashed == {"a.py", "b.py"}
+    plan = {r.path: r.action for r in res.plan.collect()}
+    assert sorted(plan.values()) == ["DELETE", "KEEP"]
+    # gate off: everything is hashed (reference behavior)
+    res_off = DedupPipeline(spark, DedupConfig(),
+                            checkpoint_dir=tempfile.mkdtemp()).run(docs)
+    assert res_off.documents_hashed.count() == 4
+    assert gated_cfg.config_hash() != DedupConfig().config_hash()
