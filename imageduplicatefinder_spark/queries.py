@@ -1693,6 +1693,140 @@ FROM scored
 """
 
 
+#: TF-IDF cosine threshold as an exact rational on cos²: keep pairs
+#: with cos² >= NUM/DEN (81/100 == cosine >= 0.9), so the cut is an
+#: integer comparison with no floating-point boundary to disagree on
+_TFIDF_COS2_NUM = 81
+_TFIDF_COS2_DEN = 100
+
+
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft (fuzzy) dedup tier: TF-IDF-weighted cosine similarity over
+    whitespace tokens, keeping pairs with cosine >= 0.9. Complements the
+    set-based tiers — Jaccard treats 'the' and a rare identifier as
+    equal evidence; IDF weighting downweights boilerplate vocabulary so
+    near-dups that differ only in filler surface while docs sharing
+    only stopwords drop out (SemDeDup/ SimilaritySearch-style soft
+    dedup over sparse vectors rather than embeddings).
+
+    Cross-engine exactness (same recipe as unigram_logprob_quality):
+    idf is floored to DECI units per token (10*log10(N/df) is
+    irrational except at exact powers of ten, where IEEE log10 is
+    exact, so the floor can never straddle engines), weights w = tf *
+    idf_deci are integers, and the cosine cut cos² >= 81/100 becomes
+    the pure-integer comparison 100*dot² >= 81*|a|²*|b|² — no sqrt, no
+    float division anywhere. int64 envelope: w <= tf_max * 10*log10(N);
+    at the tested scales dot <= ~8e6 so 1000*dot² <= ~7e16 << 2⁶³; a
+    10¹²-file run would cast the three filter products to
+    decimal(38,0) (Spark) / HUGEINT (DuckDB) — same semantics, wider
+    lanes.
+
+    100 TB: tokens with idf_deci == 0 (df within ~21% of N — corpus
+    boilerplate) carry zero weight and are DROPPED before the self-join,
+    so the classic all-pairs-similarity hot-key problem self-resolves:
+    the join fans out only on discriminative (rarer) tokens, exactly
+    the DIMSUM/prefix-filter insight. Per-token fan-out is df²; AQE
+    skew-join splits what remains. Everything is keyed aggregation —
+    no cartesian, no window over the corpus, no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(_words()).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    n = docs.agg(F.count("*").alias("n_docs"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf_deci = F.greatest(
+        F.floor(
+            F.log10(F.col("n_docs").cast("double") / F.col("df")) * 10
+        ),
+        F.lit(0),
+    ).cast("long")
+    w = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "tok", (F.col("tf") * idf_deci).alias("w")
+        )
+        .filter(F.col("w") > 0)
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).alias("n2")
+    )
+    num = (
+        w.alias("a")
+        .join(
+            w.alias("b"),
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
+        )
+        .agg(
+            F.sum(F.col("a.w") * F.col("b.w")).alias("dot"),
+            F.count("*").alias("n_shared"),
+        )
+    )
+    return (
+        num.join(
+            norms.select(F.col("doc_id").alias("src"), F.col("n2").alias("na2")),
+            "src",
+        )
+        .join(
+            norms.select(F.col("doc_id").alias("dst"), F.col("n2").alias("nb2")),
+            "dst",
+        )
+        .filter(
+            F.lit(_TFIDF_COS2_DEN) * F.col("dot") * F.col("dot")
+            >= F.lit(_TFIDF_COS2_NUM) * F.col("na2") * F.col("nb2")
+        )
+        .select(
+            "src",
+            "dst",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.col("dot").cast("long").alias("dot"),
+            F.expr(
+                "CAST((1000 * dot * dot) DIV (na2 * nb2) AS BIGINT)"
+            ).alias("cos2_permille"),
+        )
+    )
+
+
+SQL_TFIDF_COSINE_PAIRS = f"""
+WITH tf AS (
+  SELECT doc_id, tok, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE tok <> '' GROUP BY doc_id, tok
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+w AS (
+  SELECT tf.doc_id, tf.tok,
+         tf.tf * greatest(CAST(floor(
+           log10(CAST(n.n_docs AS DOUBLE) / dfreq.df) * 10) AS BIGINT), 0)
+           AS w
+  FROM tf JOIN dfreq USING (tok), n
+),
+wz AS (SELECT * FROM w WHERE w > 0),
+nrm AS (SELECT doc_id, sum(w * w) AS n2 FROM wz GROUP BY doc_id),
+num AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst,
+         sum(a.w * b.w) AS dot, count(*) AS n_shared
+  FROM wz a JOIN wz b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT src, dst, CAST(n_shared AS BIGINT) AS n_shared,
+       CAST(dot AS BIGINT) AS dot,
+       CAST((1000 * dot * dot) // (na.n2 * nb.n2) AS BIGINT)
+         AS cos2_permille
+FROM num JOIN nrm na ON na.doc_id = num.src
+         JOIN nrm nb ON nb.doc_id = num.dst
+WHERE {_TFIDF_COS2_DEN} * dot * dot >= {_TFIDF_COS2_NUM} * na.n2 * nb.n2
+"""
+
+
 #: sequence-packing budget: docs are packed, in deterministic doc_id
 #: order, into training shards of at most this many whitespace tokens
 #: (a doc starts in the shard its cumulative start offset falls in)
@@ -4068,8 +4202,8 @@ QUERIES: dict[str, QueryFn] = {
     "ngram_containment_pairs": q_ngram_containment_pairs,
     "char_ngram_jaccard_pairs": q_char_ngram_jaccard_pairs,
     "minhash_band_pairs_portable": q_minhash_band_pairs_portable,
+    "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
     "containment_confirmed": q_containment_confirmed,
-    "containment_confirmed_sa": q_containment_confirmed_sa,
     "dedup_keeper_plan": q_dedup_keeper_plan,
     "deduped_corpus": q_deduped_corpus,
     "quarantine_plan": q_quarantine_plan,
@@ -4108,16 +4242,20 @@ QUERIES: dict[str, QueryFn] = {
     # embeddings / similarity search
     "ann_cosine_topk": q_ann_cosine_topk,
     "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
-    "embedding_similar_pairs": q_embedding_similar_pairs,
     "embedding_neardup_lsh_amplified": q_embedding_neardup_lsh_amplified,
     "embedding_dedup_keeper": q_embedding_dedup_keeper,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
     # temporal joins
     "asof_click_purchase": q_asof_click_purchase,
     "range_purchase_followups": q_range_purchase_followups,
-    # --- driver window boundary (~50) ---------------------------------
-    # relational demos past the window: still oracled + checked by
-    # tools/check_oracles.py, redundant with the in-window set above
+    # --- driver window boundary (50) -----------------------------------
+    # past the window: still oracled + checked by tools/check_oracles.py,
+    # each redundant with an in-window sibling (containment_confirmed_sa
+    # shares containment_confirmed's oracle and its SA path is pytest-
+    # pinned; embedding_similar_pairs is a threshold variant of
+    # embedding_near_dup_pairs) or a relational demo
+    "containment_confirmed_sa": q_containment_confirmed_sa,
+    "embedding_similar_pairs": q_embedding_similar_pairs,
     "train_val_test_split": q_train_val_test_split,
     "vocab_top_terms": q_vocab_top_terms,
     "bpe_token_counts": q_bpe_token_counts,
@@ -4172,6 +4310,7 @@ ORACLES: dict[str, str] = {
     "license_profile": SQL_LICENSE_PROFILE,
     "winnow_match_pairs": SQL_WINNOW_MATCH_PAIRS,
     "minhash_band_pairs_portable": SQL_MINHASH_BAND_PAIRS_PORTABLE,
+    "tfidf_cosine_pairs": SQL_TFIDF_COSINE_PAIRS,
     "simhash_hamming_pairs": SQL_SIMHASH_HAMMING_PAIRS,
     "gradsign_hamming_pairs_portable": SQL_GRADSIGN_HAMMING_PAIRS_PORTABLE,
     "simhash_radius_clusters": SQL_SIMHASH_RADIUS_CLUSTERS,

@@ -34,6 +34,7 @@ LIGHT = [
     "chunk_dedup_corpus",
     "pii_redaction",
     "decontaminate_vs_eval",
+    "tfidf_cosine_pairs",
 ]
 
 
