@@ -37,6 +37,12 @@ ANNOTATED = {
         "BLAS tile per group; no driver collect, no cartesian"
     ),
     "ann_lsh_bucketed": "hyperplane bucket equi-join + in-bucket window top-k",
+    "tfidf_cosine_pairs": (
+        "TF-IDF soft dedup: integer deci-floored idf weights, zero-weight "
+        "(boilerplate) tokens dropped BEFORE the token self-join, cosine "
+        "cut as pure-integer 100*dot^2 >= 81*|a|^2*|b|^2 — no cartesian, "
+        "no float boundary, no Python"
+    ),
     "pricing_summary": (
         "partial/final HashAggregate split; l_shipdate filter pushed to "
         "the parquet scan; pruned ReadSchema"
