@@ -801,6 +801,68 @@ def q_dedup_keeper_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_keeper_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware keeper selection: within each token-set dup class,
+    KEEP the member with the highest type-token ratio (the most
+    internally diverse copy — a quality proxy), doc_id ASC tiebreak.
+    The LLM-training twist on the reference's W1 rule
+    (src/main/java/app/Commands.java:212-233 keeps the LARGEST file):
+    when dropping near-copies, a data pipeline wants the best-quality
+    survivor, not the biggest one.
+
+    Same mega-group-safe shape as dedup_keeper_plan: partial-aggregating
+    min_by over struct((-score), doc_id) + one keyed join — a viral dup
+    class is a reduce key, never a single-task sort; TTR is floored to
+    integer milli so the argmax has no float tie ambiguity."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = _words()
+    ttr = F.floor(
+        F.size(F.array_distinct(w)) * 1000.0 / F.size(w)
+    ).cast("long")
+    d = docs.select(
+        "doc_id", _token_set_hash().alias("set_hash"), ttr.alias("ttr_milli")
+    ).localCheckpoint(eager=False)
+    groups = (
+        d.groupBy("set_hash")
+        .agg(
+            F.count("*").alias("_n"),
+            F.min_by(
+                "doc_id",
+                F.struct((-F.col("ttr_milli")).alias("_s"), F.col("doc_id")),
+            ).alias("_keeper"),
+        )
+        .filter(F.col("_n") >= 2)
+        .select("set_hash", "_keeper")
+    )
+    return d.join(groups, on="set_hash").select(
+        "set_hash",
+        "doc_id",
+        "ttr_milli",
+        F.when(F.col("doc_id") == F.col("_keeper"), F.lit("KEEP"))
+        .otherwise(F.lit("DELETE"))
+        .alias("action"),
+    )
+
+
+SQL_QUALITY_KEEPER_PLAN = f"""
+WITH g AS (
+  SELECT doc_id,
+         {_SQL_TOKEN_SET_HASH} AS set_hash,
+         CAST(floor(len(list_distinct(string_split(text,' '))) * 1000.0
+              / len(string_split(text,' '))) AS BIGINT) AS ttr_milli
+  FROM documents
+), sized AS (
+  SELECT *, count(*) OVER (PARTITION BY set_hash) AS _n,
+         row_number() OVER (PARTITION BY set_hash
+                            ORDER BY ttr_milli DESC, doc_id) AS _rn
+  FROM g
+)
+SELECT set_hash, doc_id, ttr_milli,
+       CASE WHEN _rn = 1 THEN 'KEEP' ELSE 'DELETE' END AS action
+FROM sized WHERE _n >= 2
+"""
+
+
 SQL_DEDUP_KEEPER_PLAN = f"""
 WITH g AS (
   SELECT doc_id, n_chars,
@@ -4205,10 +4267,10 @@ QUERIES: dict[str, QueryFn] = {
     "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
     "containment_confirmed": q_containment_confirmed,
     "dedup_keeper_plan": q_dedup_keeper_plan,
+    "quality_keeper_plan": q_quality_keeper_plan,
     "deduped_corpus": q_deduped_corpus,
     "quarantine_plan": q_quarantine_plan,
     "near_dup_clusters_exact": q_near_dup_clusters_exact,
-    "near_dup_clusters_star": q_near_dup_clusters_star,
     "dedup_funnel_stats": q_dedup_funnel_stats,
     "source_mirror_pairs": q_source_mirror_pairs,
     "cross_source_dup_ownership": q_cross_source_dup_ownership,
@@ -4256,6 +4318,7 @@ QUERIES: dict[str, QueryFn] = {
     # embedding_near_dup_pairs) or a relational demo
     "containment_confirmed_sa": q_containment_confirmed_sa,
     "embedding_similar_pairs": q_embedding_similar_pairs,
+    "near_dup_clusters_star": q_near_dup_clusters_star,
     "train_val_test_split": q_train_val_test_split,
     "vocab_top_terms": q_vocab_top_terms,
     "bpe_token_counts": q_bpe_token_counts,
@@ -4295,6 +4358,7 @@ ORACLES: dict[str, str] = {
     "containment_confirmed": SQL_CONTAINMENT_CONFIRMED,
     "containment_confirmed_sa": SQL_CONTAINMENT_CONFIRMED,
     "dedup_keeper_plan": SQL_DEDUP_KEEPER_PLAN,
+    "quality_keeper_plan": SQL_QUALITY_KEEPER_PLAN,
     "deduped_corpus": SQL_DEDUPED_CORPUS,
     "quarantine_plan": SQL_QUARANTINE_PLAN,
     "near_dup_clusters_exact": SQL_NEAR_DUP_CLUSTERS_EXACT,

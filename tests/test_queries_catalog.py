@@ -35,6 +35,7 @@ LIGHT = [
     "pii_redaction",
     "decontaminate_vs_eval",
     "tfidf_cosine_pairs",
+    "quality_keeper_plan",
 ]
 
 
