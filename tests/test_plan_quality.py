@@ -221,3 +221,26 @@ def test_cross_source_ownership_single_pass_owner(spark):
     assert "partial_min" in plan or "partial_count" in plan, plan
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
     assert "lang" not in read_schema and "n_chars" not in read_schema
+
+
+def test_quality_keeper_no_cartesian_partial_minby(spark):
+    """Quality-aware keeper: min_by with a partial/final split
+    (mega-group safe — never a window sort over a viral dup class) and
+    no cartesian. The scan sits behind the localCheckpoint leaf, so
+    pruning is covered by the shared-builder tests, not ReadSchema
+    here."""
+    plan = plan_of(QUERIES["quality_keeper_plan"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_min_by" in plan, plan
+
+
+def test_tfidf_cosine_no_cartesian(spark):
+    """TF-IDF soft dedup: the token self-join must be an equi-join
+    (never a cartesian); the only nested-loop allowed is the 1-row
+    corpus-count scalar attach (same pattern as unigram_logprob)."""
+    plan = plan_of(QUERIES["tfidf_cosine_pairs"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # the token self-join itself must be hash-based
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or plan.count("BroadcastHashJoin") >= 1, plan
