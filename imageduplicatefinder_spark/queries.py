@@ -292,6 +292,57 @@ WHERE floor(inter * 1000.0 / (sa.n + sb.n - inter)) >= 800
 """
 
 
+def q_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-scheme self-audit: measure the portable MinHash-LSH
+    candidate tier against the verify-grade truth tier (brute-force
+    shingle Jaccard >= 0.8) ON THE LIVE CORPUS and report TP/FN/
+    candidate counts with integer permille recall/precision. The
+    "measure, don't guess" operator a dedup platform runs after every
+    config change: pytest pins recall on planted corpora, this pins it
+    on the data actually being deduped.
+
+    Precision here is CANDIDATE precision (candidates that survive the
+    verify threshold), not an error rate — LSH candidates are verified
+    downstream by design, so low precision costs compute, not
+    correctness; low RECALL loses duplicate pairs silently, which is
+    the number that must stay near 1000.
+
+    100 TB: both inputs are the already-bounded upstream tiers (df-cap
+    and band-cap equi-joins); the audit itself is one full-outer join
+    on uniform (doc_a, doc_b) keys and a single partial-aggregated
+    global row."""
+    truth = q_ngram_jaccard_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("_t")
+    )
+    cand = q_minhash_band_pairs_portable(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("_c")
+    )
+    j = truth.join(cand, on=["doc_a", "doc_b"], how="full_outer")
+    agg = j.agg(
+        F.sum(F.coalesce(F.col("_t"), F.lit(0))).cast("long").alias("n_truth"),
+        F.sum(F.coalesce(F.col("_c"), F.lit(0))).cast("long")
+        .alias("n_candidates"),
+        F.sum(
+            F.when(F.col("_t").isNotNull() & F.col("_c").isNotNull(), 1)
+            .otherwise(0)
+        ).cast("long").alias("tp"),
+    )
+    return agg.select(
+        "n_truth",
+        "n_candidates",
+        "tp",
+        (F.col("n_truth") - F.col("tp")).cast("long").alias("fn"),
+        F.when(F.col("n_truth") == 0, F.lit(1000))
+        .otherwise(F.floor(F.col("tp") * 1000.0 / F.col("n_truth")))
+        .cast("long")
+        .alias("recall_permille"),
+        F.when(F.col("n_candidates") == 0, F.lit(1000))
+        .otherwise(F.floor(F.col("tp") * 1000.0 / F.col("n_candidates")))
+        .cast("long")
+        .alias("precision_permille"),
+    )
+
+
 def q_ngram_jaccard_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME operator as q_ngram_jaccard_pairs (Jaccard >= 0.8 over
     the DF-capped shingle space) computed via PREFIX FILTERING
@@ -1405,6 +1456,37 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM kept a JOIN kept b ON a.band = b.band AND a.key = b.key
                        AND a.doc_id < b.doc_id
 GROUP BY 1, 2
+"""
+
+
+SQL_LSH_RECALL_REPORT = f"""
+WITH truth AS (
+  SELECT doc_a, doc_b FROM ({SQL_NGRAM_JACCARD_PAIRS}) _truth
+),
+cand AS (
+  SELECT doc_a, doc_b FROM ({SQL_MINHASH_BAND_PAIRS_PORTABLE}) _cand
+),
+j AS (
+  SELECT t.doc_a AS t_a, c.doc_a AS c_a
+  FROM truth t FULL OUTER JOIN cand c
+    ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+),
+agg AS (
+  SELECT CAST(count(t_a) AS BIGINT) AS n_truth,
+         CAST(count(c_a) AS BIGINT) AS n_candidates,
+         CAST(count(*) FILTER (WHERE t_a IS NOT NULL AND c_a IS NOT NULL)
+              AS BIGINT) AS tp
+  FROM j
+)
+SELECT n_truth, n_candidates, tp,
+       CAST(n_truth - tp AS BIGINT) AS fn,
+       CAST(CASE WHEN n_truth = 0 THEN 1000
+                 ELSE floor(tp * 1000.0 / n_truth) END AS BIGINT)
+         AS recall_permille,
+       CAST(CASE WHEN n_candidates = 0 THEN 1000
+                 ELSE floor(tp * 1000.0 / n_candidates) END AS BIGINT)
+         AS precision_permille
+FROM agg
 """
 
 
@@ -4264,6 +4346,7 @@ QUERIES: dict[str, QueryFn] = {
     "ngram_containment_pairs": q_ngram_containment_pairs,
     "char_ngram_jaccard_pairs": q_char_ngram_jaccard_pairs,
     "minhash_band_pairs_portable": q_minhash_band_pairs_portable,
+    "lsh_recall_report": q_lsh_recall_report,
     "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
     "containment_confirmed": q_containment_confirmed,
     "dedup_keeper_plan": q_dedup_keeper_plan,
@@ -4285,7 +4368,6 @@ QUERIES: dict[str, QueryFn] = {
     "gradsign_hamming_pairs_portable": q_gradsign_hamming_pairs_portable,
     "simhash_radius_clusters": q_simhash_radius_clusters,
     # text analysis
-    "token_stats": q_token_stats,
     "quality_scores": q_quality_scores,
     "gopher_quality_filter": q_gopher_quality_filter,
     "repetition_stats": q_repetition_stats,
@@ -4319,6 +4401,7 @@ QUERIES: dict[str, QueryFn] = {
     "containment_confirmed_sa": q_containment_confirmed_sa,
     "embedding_similar_pairs": q_embedding_similar_pairs,
     "near_dup_clusters_star": q_near_dup_clusters_star,
+    "token_stats": q_token_stats,
     "train_val_test_split": q_train_val_test_split,
     "vocab_top_terms": q_vocab_top_terms,
     "bpe_token_counts": q_bpe_token_counts,
@@ -4374,6 +4457,7 @@ ORACLES: dict[str, str] = {
     "license_profile": SQL_LICENSE_PROFILE,
     "winnow_match_pairs": SQL_WINNOW_MATCH_PAIRS,
     "minhash_band_pairs_portable": SQL_MINHASH_BAND_PAIRS_PORTABLE,
+    "lsh_recall_report": SQL_LSH_RECALL_REPORT,
     "tfidf_cosine_pairs": SQL_TFIDF_COSINE_PAIRS,
     "simhash_hamming_pairs": SQL_SIMHASH_HAMMING_PAIRS,
     "gradsign_hamming_pairs_portable": SQL_GRADSIGN_HAMMING_PAIRS_PORTABLE,

@@ -36,6 +36,7 @@ LIGHT = [
     "decontaminate_vs_eval",
     "tfidf_cosine_pairs",
     "quality_keeper_plan",
+    "lsh_recall_report",
 ]
 
 
