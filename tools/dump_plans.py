@@ -37,6 +37,15 @@ ANNOTATED = {
         "BLAS tile per group; no driver collect, no cartesian"
     ),
     "ann_lsh_bucketed": "hyperplane bucket equi-join + in-bucket window top-k",
+    "quality_keeper_plan": (
+        "quality-aware keeper: partial/final min_by over struct((-ttr), "
+        "doc_id) — mega-group safe, no window sort over a viral dup class"
+    ),
+    "lsh_recall_report": (
+        "candidate-vs-truth audit: both tiers are bounded equi-join "
+        "subplans, the audit itself one full-outer join on uniform pair "
+        "keys + a single partial-aggregated global row"
+    ),
     "tfidf_cosine_pairs": (
         "TF-IDF soft dedup: integer deci-floored idf weights, zero-weight "
         "(boilerplate) tokens dropped BEFORE the token self-join, cosine "
