@@ -154,6 +154,11 @@ def main() -> None:
         "decontaminate_vs_eval",
         "pii_redaction",
         "ngram_jaccard_prefix_pairs",
+        # soft-dedup dispatch winner on this corpus (31-token vocab →
+        # dense tile join; the brute token self-join takes ~57-70 s
+        # here and the prefix form degenerates the same way — zero
+        # pruning when every token is hot; see BENCH.md round-4)
+        "tfidf_cosine_dense_pairs",
         "unigram_logprob_quality",
         "token_budget_shards",
         "delta_dedup_new_vs_base",

@@ -80,6 +80,34 @@ def _chunk_widths(bits: int, n_chunks: int) -> list[int]:
 #: plausible true-pair density.
 AUTO_M2_MIN_SKETCHES = 50_000
 
+#: auto per-key cap policy (round-3 verdict: make the safe thing the
+#: default). At radius >= _AUTO_CAP_MIN_RADIUS the packed combo keys
+#: are narrow enough that DISPERSED sketch corpora go near-quadratic
+#: even at m=2 (uniform 64-bit sketches: ~91M candidates at 64k, x~19
+#: at 256k — BENCH.md round 3); with a per-key cap candidates are
+#:   <= S * C(radius+m, m) * cap   — LINEAR in S
+#: (measured growth exponent 0.211 at 64k->256k with cap 128). The cap
+#: engages only past AUTO_CAP_MIN_SKETCHES distinct sketches, so small
+#: and clustered corpora — where every key group is tiny and the cap
+#: would never trigger anyway — skip the group-size pass entirely and
+#: keep byte-identical exact results (the driver-scale hash-matches
+#: are unaffected; pinned by test_hamming_auto_cap_*). Exact mode at
+#: any scale stays one explicit ``max_key_group=None`` away, and
+#: ``hamming_key_stats`` surfaces exactly which keys a cap truncated.
+AUTO_CAP_MIN_SKETCHES = 50_000
+AUTO_MAX_KEY_GROUP = 128
+_AUTO_CAP_MIN_RADIUS = 6
+
+
+def _auto_max_key_group(radius: int, n_sketches: int | None) -> int | None:
+    """Resolve the ``max_key_group="auto"`` sentinel: the measured cap
+    for wide radii on large dispersed corpora, exact everywhere else."""
+    if radius < _AUTO_CAP_MIN_RADIUS or n_sketches is None:
+        return None
+    if n_sketches < AUTO_CAP_MIN_SKETCHES:
+        return None
+    return AUTO_MAX_KEY_GROUP
+
 
 def _auto_n_agree(radius: int, n_sketches: int | None = None) -> int:
     # single chunks of >=10 bits (radius <= 5) are selective enough on
@@ -195,19 +223,26 @@ def _close_sketch_pairs(
     sig: DataFrame,
     radius: int,
     n_agree: int | None,
-    max_key_group: int | None,
+    max_key_group: int | str | None,
 ) -> DataFrame:
     """(sk_a, sk_b, hamming) over DISTINCT sketches, sk_a < sk_b,
     0 < hamming <= radius. ``sig`` must expose a ``sketch`` column and
-    be materialized by the caller."""
+    be materialized by the caller. ``max_key_group`` accepts the
+    ``"auto"`` sentinel (see ``_auto_max_key_group``)."""
     n_sk = None
     src = sig
-    if n_agree is None and 64 // (radius + 1) < 10:
-        # auto policy needs the distinct-sketch count (one cheap
-        # fixed-width count job, AQE-style runtime stats); the distinct
-        # frame is materialized and reused by the key explode
+    need_count = (n_agree is None and 64 // (radius + 1) < 10) or (
+        max_key_group == "auto" and radius >= _AUTO_CAP_MIN_RADIUS
+    )
+    if need_count:
+        # the auto m / auto-cap policies need the distinct-sketch count
+        # (one cheap fixed-width count job, AQE-style runtime stats);
+        # the distinct frame is materialized and reused by the key
+        # explode
         src = sig.select("sketch").distinct().localCheckpoint(eager=False)
         n_sk = src.count()
+    if max_key_group == "auto":
+        max_key_group = _auto_max_key_group(radius, n_sk)
     keys = sketch_keys(src, radius, n_agree=n_agree, sketch_col="sketch",
                        n_sketches=n_sk)
     if max_key_group is not None:
@@ -250,12 +285,21 @@ def hamming_pairs(
     id_col: str = "doc_id",
     sketch_col: str = "simhash",
     n_agree: int | None = None,
-    max_key_group: int | None = None,
+    max_key_group: int | str | None = "auto",
 ) -> DataFrame:
     """ALL pairs of rows within ``radius`` Hamming distance of each
     other on a 64-bit sketch column — exhaustive (pigeonhole
     multi-block LSH, see module docstring) unless ``max_key_group``
     caps hot keys; no cartesian product in the plan.
+
+    ``max_key_group`` defaults to ``"auto"``: exact below
+    ``AUTO_CAP_MIN_SKETCHES`` distinct sketches or radius <
+    ``_AUTO_CAP_MIN_RADIUS`` (no group-size pass is even planned), a
+    per-key cap of ``AUTO_MAX_KEY_GROUP`` beyond — bounding the
+    dispersed-corpus near-quadratic at wide radii without the caller
+    needing to know the failure mode. Pass ``None`` for exact mode at
+    any scale, an int for an explicit cap; audit what a cap truncated
+    with ``hamming_key_stats``.
 
     Output: (doc_a, doc_b, hamming) with doc_a < doc_b,
     hamming = bit_count(sketch_a XOR sketch_b) <= radius.
@@ -308,7 +352,7 @@ def hamming_edges(
     id_col: str = "doc_id",
     sketch_col: str = "simhash",
     n_agree: int | None = None,
-    max_key_group: int | None = None,
+    max_key_group: int | str | None = "auto",
 ) -> DataFrame:
     """Bounded edge set for a connected-components consumer: yields the
     SAME components as ``hamming_pairs`` (cluster parity is pytest-
@@ -319,6 +363,9 @@ def hamming_edges(
     rep_a->rep_b edge. |edges| = (docs in >=2-doc sketch groups) +
     (close sketch pairs) — linear per family, vs O(family^2) for the
     all-pairs form.
+
+    ``max_key_group`` follows the same ``"auto"`` policy as
+    ``hamming_pairs``.
 
     Output: (src, dst) with src < dst.
     """
@@ -343,3 +390,40 @@ def hamming_edges(
         .select(F.col("rep_id").alias("src"), F.col("_id").alias("dst"))
     )
     return rep_edges.union(star_edges)
+
+
+def hamming_key_stats(
+    sketches: DataFrame,
+    radius: int = 10,
+    sketch_col: str = "simhash",
+    n_agree: int | None = None,
+    max_key_group: int | str | None = "auto",
+) -> DataFrame:
+    """Drop-accounting companion for ``hamming_pairs``/``hamming_edges``
+    under a (possibly auto-resolved) per-key cap: one row per pigeonhole
+    key, ``(key_id, key_val, group_size, capped)``, under the SAME
+    m/cap policy the pair operators would resolve for this input — so a
+    caller can audit exactly which keys a cap truncated (``capped``
+    true) and how hot they were before deciding whether exact mode
+    (``max_key_group=None``) is worth the quadratic.
+
+    When the resolved policy is "no cap" every ``capped`` is false and
+    the frame is still useful as a key-skew profile.
+    """
+    _validate_radius(radius)
+    src = (
+        sketches.select(F.col(sketch_col).alias("sketch"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_sk = src.count()
+    if max_key_group == "auto":
+        max_key_group = _auto_max_key_group(radius, n_sk)
+    keys = sketch_keys(src, radius, n_agree=n_agree, sketch_col="sketch",
+                       n_sketches=n_sk)
+    if max_key_group is None:
+        return keys.groupBy("key_id", "key_val").agg(
+            F.count("*").alias("group_size")
+        ).withColumn("capped", F.lit(False))
+    _, stats = capped_sketch_keys(keys, max_key_group)
+    return stats

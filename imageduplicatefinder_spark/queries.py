@@ -264,6 +264,33 @@ FROM documents GROUP BY 1 HAVING count(*) >= 2
 """
 
 
+def q_token_set_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pair-emitting form of the token-set exact class: the SAME
+    hash-equality self-join shape as q_exact_dup_pairs, keyed on the
+    whitespace/reorder-invariant token-set hash instead of raw sha256.
+    Registered in the driver window because the raw-sha256 pair query
+    is vacuously green on the driver corpus (the synthetic perturbations
+    are word-level, so no two texts are byte-identical — 0 vs 0 rows
+    certifies nothing); this variant exercises the identical join
+    machinery with real rows at every scale factor."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _token_set_hash().alias("h")
+    )
+    return (
+        docs.alias("a")
+        .join(docs.alias("b"), on="h")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+
+
+SQL_TOKEN_SET_DUP_PAIRS = f"""
+WITH h AS (SELECT doc_id, {_SQL_TOKEN_SET_HASH} AS h FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM h a JOIN h b ON a.h = b.h AND a.doc_id < b.doc_id
+"""
+
+
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup pairs (J2+J3 analog, SQL-expressible form).
 
@@ -318,13 +345,20 @@ def q_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b", F.lit(1).alias("_c")
     )
     j = truth.join(cand, on=["doc_a", "doc_b"], how="full_outer")
+    # coalesce OUTSIDE the sums too: a global agg over zero rows yields
+    # NULL sums, and the oracle's count() yields 0 — the degenerate
+    # empty-corpus row must still match (0 truth -> recall 1000)
     agg = j.agg(
-        F.sum(F.coalesce(F.col("_t"), F.lit(0))).cast("long").alias("n_truth"),
-        F.sum(F.coalesce(F.col("_c"), F.lit(0))).cast("long")
-        .alias("n_candidates"),
-        F.sum(
-            F.when(F.col("_t").isNotNull() & F.col("_c").isNotNull(), 1)
-            .otherwise(0)
+        F.coalesce(F.sum(F.coalesce(F.col("_t"), F.lit(0))), F.lit(0))
+        .cast("long").alias("n_truth"),
+        F.coalesce(F.sum(F.coalesce(F.col("_c"), F.lit(0))), F.lit(0))
+        .cast("long").alias("n_candidates"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("_t").isNotNull() & F.col("_c").isNotNull(), 1)
+                .otherwise(0)
+            ),
+            F.lit(0),
         ).cast("long").alias("tp"),
     )
     return agg.select(
@@ -1969,6 +2003,228 @@ FROM num JOIN nrm na ON na.doc_id = num.src
          JOIN nrm nb ON nb.doc_id = num.dst
 WHERE {_TFIDF_COS2_DEN} * dot * dot >= {_TFIDF_COS2_NUM} * na.n2 * nb.n2
 """
+
+
+def q_tfidf_cosine_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME soft-dedup operator as q_tfidf_cosine_pairs (TF-IDF
+    cosine >= 0.9, integer-exact) computed via WEIGHTED PREFIX
+    FILTERING (AllPairs, Bayardo et al. 2007, §4) instead of the full
+    token self-join — the weighted analog of
+    q_ngram_jaccard_prefix_pairs / operators/prefix_join.py.
+
+    Order each doc's weighted tokens by a GLOBAL key (document
+    frequency asc, token asc) — rarest first — and keep in the doc's
+    "prefix" only the head whose remaining tail still carries
+    normalized squared norm >= t^2 = 0.81; equivalently a token stays
+    while ``tail_sq * 100 >= 81 * n2`` in pure integers (tail_sq =
+    sum of w^2 from that token onward, n2 = the doc's full sum of
+    w^2). Completeness proof: if a qualifying pair (cos >= 0.9; all
+    weights nonnegative) shared NO token of b's prefix, every shared
+    token would lie in b's suffix and Cauchy-Schwarz gives
+    cos <= ||a_hat|| * ||b_hat_suffix|| < sqrt(0.81) = 0.9 — a
+    contradiction; so every qualifying pair surfaces in the
+    full(a) x prefix(b) token join (either probe direction; pairs are
+    canonicalized + distinct). Exact verification then recomputes the
+    integer cosine over candidate pairs only, so the result is
+    IDENTICAL to the brute form — it shares SQL_TFIDF_COSINE_PAIRS as
+    its oracle, and a pytest pins Spark-vs-Spark equality.
+
+    100 TB: this kills the brute form's df^2 hot-token fan-out (the
+    round-3 `weak`). The join's index side holds only prefix tokens —
+    and a token common enough to be hot has LOW idf weight, so it
+    sorts LAST in every doc and falls out of prefixes first; fan-out
+    per token becomes df_full x df_prefix with df_prefix collapsing
+    exactly where df_full explodes. The per-doc tail sums are one
+    window pass partitioned by doc_id (bounded by doc length, no
+    global window), and the verify join touches only candidate
+    pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(_words()).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    n = docs.agg(F.count("*").alias("n_docs"))
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf_deci = F.greatest(
+        F.floor(
+            F.log10(F.col("n_docs").cast("double") / F.col("df")) * 10
+        ),
+        F.lit(0),
+    ).cast("long")
+    w = (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "tok", "df", (F.col("tf") * idf_deci).alias("w"))
+        .filter(F.col("w") > 0)
+        # both the prefix builder and the verify join reuse this table;
+        # localCheckpoint materializes it once (same pattern as
+        # q_ngram_jaccard_prefix_pairs)
+        .localCheckpoint(eager=False)
+    )
+    # per-doc integer tail sums in the global (df asc, tok asc) order —
+    # ROWS BETWEEN CURRENT AND UNBOUNDED FOLLOWING over the doc's own
+    # tokens only
+    w_doc = Window.partitionBy("doc_id").orderBy("df", "tok")
+    tail = w.withColumn(
+        "tail_sq",
+        F.sum(F.col("w") * F.col("w")).over(
+            w_doc.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        ),
+    ).withColumn(
+        "n2", F.sum(F.col("w") * F.col("w")).over(
+            Window.partitionBy("doc_id")
+        )
+    )
+    prefix = tail.filter(
+        F.col("tail_sq") * F.lit(100) >= F.lit(_TFIDF_COS2_NUM) * F.col("n2")
+    ).select("doc_id", "tok").localCheckpoint(eager=False)
+    cand = (
+        w.select(F.col("doc_id").alias("probe"), "tok")
+        .join(prefix.withColumnRenamed("doc_id", "index"), on="tok")
+        .filter(F.col("probe") != F.col("index"))
+        .select(
+            F.least("probe", "index").alias("src"),
+            F.greatest("probe", "index").alias("dst"),
+        )
+        .distinct()
+    )
+    # exact integer-cosine verify over candidate pairs only
+    num = (
+        cand.join(
+            w.select(F.col("doc_id").alias("src"), "tok",
+                     F.col("w").alias("wa")),
+            on="src",
+        )
+        .join(
+            w.select(F.col("doc_id").alias("dst"), "tok",
+                     F.col("w").alias("wb")),
+            on=["dst", "tok"],
+        )
+        .groupBy("src", "dst")
+        .agg(
+            F.sum(F.col("wa") * F.col("wb")).alias("dot"),
+            F.count("*").alias("n_shared"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    return (
+        num.join(
+            norms.select(F.col("doc_id").alias("src"), F.col("n2").alias("na2")),
+            "src",
+        )
+        .join(
+            norms.select(F.col("doc_id").alias("dst"), F.col("n2").alias("nb2")),
+            "dst",
+        )
+        .filter(
+            F.lit(_TFIDF_COS2_DEN) * F.col("dot") * F.col("dot")
+            >= F.lit(_TFIDF_COS2_NUM) * F.col("na2") * F.col("nb2")
+        )
+        .select(
+            "src",
+            "dst",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.col("dot").cast("long").alias("dot"),
+            F.expr(
+                "CAST((1000 * dot * dot) DIV (na2 * nb2) AS BIGINT)"
+            ).alias("cos2_permille"),
+        )
+    )
+
+
+#: dense-path guard: the int-vector tile join densifies to |vocab|
+#: columns per row; beyond this many weighted tokens the sparse
+#: prefix-filter join is the right plan and the dense builder refuses
+_TFIDF_DENSE_VOCAB_MAX = 4096
+
+
+def q_tfidf_cosine_dense_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME soft-dedup operator as q_tfidf_cosine_pairs, computed
+    via the DENSE block-matrix tile join (operators/similarity.py
+    int_cosine_tile_pairs) — the compact-vocabulary leg of the TF-IDF
+    dispatch.
+
+    Why a third form exists: candidate generation by token equality —
+    brute self-join AND weighted prefix filtering alike — fans out by
+    document frequency, and on a compact vocabulary EVERY token is hot
+    (measured at sf0.1: 31 distinct tokens, 5 000 docs, 12.39M
+    candidate pairs after prefix filtering = zero pruning). When
+    |weighted vocab| is small enough to densify (<=
+    _TFIDF_DENSE_VOCAB_MAX), the right plan is no candidate pairs at
+    all: sparse int vectors -> B(B+1)/2 independent BLAS tiles that
+    emit only survivors. Dispatch rule for callers: vocab size is one
+    cheap aggregate; use this form when it fits, the weighted-prefix
+    form otherwise (realistic web corpora, where vocab is huge and
+    prefixes prune).
+
+    Integer exactness end-to-end: weights are the same tf * idf_deci
+    integers, dots are float64-BLAS-exact on the integer grid (int64
+    matmul past 2^53), and every screened pair is re-verified with
+    arbitrary-precision integer arithmetic — so the output is
+    IDENTICAL to the brute form and shares SQL_TFIDF_COSINE_PAIRS as
+    its oracle (pytest pins three-way Spark equality).
+
+    The one driver-side action is the vocab collect — bounded by the
+    guard, the same pattern as IVF's broadcast centroids."""
+    from imageduplicatefinder_spark.operators.similarity import (
+        int_cosine_tile_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(_words()).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)  # reused: dfreq + weight join
+    )
+    n_docs = docs.count()
+    vocab_rows = (
+        tf.groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .select(
+            "tok",
+            F.greatest(
+                F.floor(
+                    F.log10(F.lit(float(n_docs)) / F.col("df")) * 10
+                ),
+                F.lit(0),
+            ).cast("long").alias("idf_deci"),
+        )
+        .filter(F.col("idf_deci") > 0)
+        .orderBy("tok")
+        .collect()
+    )
+    if len(vocab_rows) > _TFIDF_DENSE_VOCAB_MAX:
+        raise ValueError(
+            f"weighted vocabulary has {len(vocab_rows)} tokens; the dense"
+            f" tile join densifies past {_TFIDF_DENSE_VOCAB_MAX} — use"
+            " q_tfidf_cosine_prefix_pairs for large vocabularies"
+        )
+    vocab = spark.createDataFrame(
+        [(i, r.tok, r.idf_deci) for i, r in enumerate(vocab_rows)],
+        "idx int, tok string, idf_deci long",
+    )
+    sparse = (
+        tf.join(F.broadcast(vocab), "tok")
+        .select("doc_id", "idx", (F.col("tf") * F.col("idf_deci")).alias("w"))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("idx", "w"))).alias("e"))
+        .select(
+            "doc_id",
+            F.col("e.idx").alias("idxs"),
+            F.col("e.w").alias("ws"),
+        )
+    )
+    return int_cosine_tile_pairs(
+        sparse,
+        dim=len(vocab_rows),
+        cos2_num=_TFIDF_COS2_NUM,
+        cos2_den=_TFIDF_COS2_DEN,
+        n_blocks=8,
+    )
 
 
 #: sequence-packing budget: docs are packed, in deterministic doc_id
@@ -4338,9 +4594,13 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # simply outside the driver's graded window.
 QUERIES: dict[str, QueryFn] = {
     # dedup (documents)
-    "exact_dup_clusters": q_exact_dup_clusters,
-    "exact_dup_pairs": q_exact_dup_pairs,
+    # (raw-sha256 exact_dup_clusters/_pairs moved past the window in
+    # round 4: the driver corpus has no byte-identical texts, so their
+    # green rows were vacuous 0-vs-0 matches; the token-set-keyed
+    # variants below exercise the same collapse/join machinery with
+    # real rows at driver scale)
     "token_set_dup_groups": q_token_set_dup_groups,
+    "token_set_dup_pairs": q_token_set_dup_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "ngram_jaccard_prefix_pairs": q_ngram_jaccard_prefix_pairs,
     "ngram_containment_pairs": q_ngram_containment_pairs,
@@ -4348,6 +4608,8 @@ QUERIES: dict[str, QueryFn] = {
     "minhash_band_pairs_portable": q_minhash_band_pairs_portable,
     "lsh_recall_report": q_lsh_recall_report,
     "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+    "tfidf_cosine_prefix_pairs": q_tfidf_cosine_prefix_pairs,
+    "tfidf_cosine_dense_pairs": q_tfidf_cosine_dense_pairs,
     "containment_confirmed": q_containment_confirmed,
     "dedup_keeper_plan": q_dedup_keeper_plan,
     "quality_keeper_plan": q_quality_keeper_plan,
@@ -4357,7 +4619,6 @@ QUERIES: dict[str, QueryFn] = {
     "dedup_funnel_stats": q_dedup_funnel_stats,
     "source_mirror_pairs": q_source_mirror_pairs,
     "cross_source_dup_ownership": q_cross_source_dup_ownership,
-    "code_clone_classes": q_code_clone_classes,
     "type2_clone_classes": q_type2_clone_classes,
     "edit_distance_pairs": q_edit_distance_pairs,
     "function_dup_stats": q_function_dup_stats,
@@ -4383,9 +4644,11 @@ QUERIES: dict[str, QueryFn] = {
     "unigram_logprob_quality": q_unigram_logprob_quality,
     "token_budget_shards": q_token_budget_shards,
     "delta_dedup_new_vs_base": q_delta_dedup_new_vs_base,
-    # embeddings / similarity search
+    # embeddings / similarity search (embedding_similar_pairs is the
+    # non-vacuous threshold for the block-matrix kernel on this data —
+    # the 0.95 near-dup form is past the window, see below)
     "ann_cosine_topk": q_ann_cosine_topk,
-    "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
+    "embedding_similar_pairs": q_embedding_similar_pairs,
     "embedding_neardup_lsh_amplified": q_embedding_neardup_lsh_amplified,
     "embedding_dedup_keeper": q_embedding_dedup_keeper,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
@@ -4396,10 +4659,14 @@ QUERIES: dict[str, QueryFn] = {
     # past the window: still oracled + checked by tools/check_oracles.py,
     # each redundant with an in-window sibling (containment_confirmed_sa
     # shares containment_confirmed's oracle and its SA path is pytest-
-    # pinned; embedding_similar_pairs is a threshold variant of
-    # embedding_near_dup_pairs) or a relational demo
+    # pinned) or vacuous at driver scale (exact_dup_*/code_clone_classes/
+    # embedding_near_dup_pairs return 0 rows on the driver corpus — their
+    # non-vacuous siblings hold the window slots) or a relational demo
+    "exact_dup_clusters": q_exact_dup_clusters,
+    "exact_dup_pairs": q_exact_dup_pairs,
+    "code_clone_classes": q_code_clone_classes,
+    "embedding_near_dup_pairs": q_embedding_near_dup_pairs,
     "containment_confirmed_sa": q_containment_confirmed_sa,
-    "embedding_similar_pairs": q_embedding_similar_pairs,
     "near_dup_clusters_star": q_near_dup_clusters_star,
     "token_stats": q_token_stats,
     "train_val_test_split": q_train_val_test_split,
@@ -4434,6 +4701,7 @@ ORACLES: dict[str, str] = {
     "exact_dup_clusters": SQL_EXACT_DUP_CLUSTERS,
     "exact_dup_pairs": SQL_EXACT_DUP_PAIRS,
     "token_set_dup_groups": SQL_TOKEN_SET_DUP_GROUPS,
+    "token_set_dup_pairs": SQL_TOKEN_SET_DUP_PAIRS,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "ngram_jaccard_prefix_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "ngram_containment_pairs": SQL_NGRAM_CONTAINMENT_PAIRS,
@@ -4459,6 +4727,11 @@ ORACLES: dict[str, str] = {
     "minhash_band_pairs_portable": SQL_MINHASH_BAND_PAIRS_PORTABLE,
     "lsh_recall_report": SQL_LSH_RECALL_REPORT,
     "tfidf_cosine_pairs": SQL_TFIDF_COSINE_PAIRS,
+    # the prefix-filtered and dense-tile forms compute the identical
+    # result, so all three share one oracle (the ngram_jaccard_prefix
+    # pattern)
+    "tfidf_cosine_prefix_pairs": SQL_TFIDF_COSINE_PAIRS,
+    "tfidf_cosine_dense_pairs": SQL_TFIDF_COSINE_PAIRS,
     "simhash_hamming_pairs": SQL_SIMHASH_HAMMING_PAIRS,
     "gradsign_hamming_pairs_portable": SQL_GRADSIGN_HAMMING_PAIRS_PORTABLE,
     "simhash_radius_clusters": SQL_SIMHASH_RADIUS_CLUSTERS,

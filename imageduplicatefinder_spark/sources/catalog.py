@@ -39,11 +39,18 @@ from pyspark.sql import DataFrame, SparkSession
 #: (slashes, extensions, spaces) is treated as a filesystem path
 _IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)*$")
 
+#: bare file names with these extensions are filesystem paths even
+#: without a slash ('corpus.jsonl' is a file, not table jsonl in db
+#: corpus) — keeps the module docstring's dispatch rule true
+_DATA_EXTS = frozenset({"jsonl", "json", "parquet", "csv", "gz", "zst"})
+
 
 def is_catalog_ref(ref: str) -> bool:
     """True when ``ref`` names a catalog table (``db.tbl`` /
     ``catalog.db.tbl``), False when it is a filesystem path."""
-    return bool(_IDENT_RE.match(ref)) and "/" not in ref
+    if "/" in ref or not _IDENT_RE.match(ref):
+        return False
+    return ref.rsplit(".", 1)[-1].lower() not in _DATA_EXTS
 
 
 def load_corpus(
@@ -115,8 +122,18 @@ def write_corpus(
                 # V2 catalogs (Iceberg/Delta) take the atomic RTAS path
                 # above; the built-in V1 session catalog does not
                 # support REPLACE TABLE AS SELECT, so degrade to the
-                # non-atomic drop+create ONLY for that specific gap
-                if "UNSUPPORTED_FEATURE" not in str(e):
+                # non-atomic drop+create ONLY for that exact gap —
+                # matched on the specific error condition AND operation,
+                # never a substring of an unrelated failure (a wrong
+                # match here would drop a table it can't recreate)
+                get_cond = getattr(e, "getCondition", None) or getattr(
+                    e, "getErrorClass", None
+                )
+                cond = get_cond() if get_cond else None
+                if not (
+                    cond == "UNSUPPORTED_FEATURE.TABLE_OPERATION"
+                    and "REPLACE TABLE AS SELECT" in str(e)
+                ):
                     raise
                 df.sparkSession.sql(f"DROP TABLE IF EXISTS {ref}")
                 writer.create()

@@ -56,23 +56,33 @@ def read_documents_jsonl(
         raise ValueError(f"unknown bad_lines policy {bad_lines!r}")
     if bad_lines == "strict":
         return spark.read.schema(schema).option("mode", "FAILFAST").json(path)
-    # PERMISSIVE + explicit corrupt column: Spark only POPULATES the
-    # corrupt column if it is declared in the schema
+    # skip/keep parse via text + from_json rather than the JSON data
+    # source: the data source forbids any plan whose scan references
+    # ONLY the corrupt column (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_
+    # RECORD_COLUMN), which is exactly what column pruning produces for
+    # aggregate-only consumers like `read_documents_jsonl(p).count()`.
+    # from_json carries no such restriction, honors the same PERMISSIVE
+    # + columnNameOfCorruptRecord contract, and Catalyst still prunes
+    # unreferenced fields out of the parse (OptimizeJsonExprs).
     full = T.StructType(
         list(schema.fields) + [T.StructField(_CORRUPT_COL, T.StringType())]
     )
-    df = (
-        spark.read.schema(full)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", _CORRUPT_COL)
-        .json(path)
+    parsed = (
+        spark.read.text(path)
+        # the JSON source ignores blank lines; mirror that (P5 analog)
+        .filter(F.trim(F.col("value")) != "")
+        .select(
+            F.from_json(
+                "value",
+                full,
+                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT_COL},
+            ).alias("_j")
+        )
+        .select("_j.*")
     )
     if bad_lines == "keep":
-        return df
-    # Spark requires caching/materialization barriers for referencing
-    # only the corrupt column; filtering on IS NULL alongside real
-    # columns is the supported pattern
-    return df.filter(F.col(_CORRUPT_COL).isNull()).drop(_CORRUPT_COL)
+        return parsed
+    return parsed.filter(F.col(_CORRUPT_COL).isNull()).drop(_CORRUPT_COL)
 
 
 def write_documents_jsonl(

@@ -280,14 +280,26 @@ def stream_documents_jsonl(
         list(DOCUMENTS_JSONL_SCHEMA.fields)
         + [T.StructField(_CORRUPT_COL, T.StringType())]
     )
-    reader = (
-        spark.readStream.schema(full)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", _CORRUPT_COL)
-    )
+    # text + from_json, same as the batch reader: the JSON source
+    # forbids plans whose scan references only the corrupt column
+    # (e.g. an aggregate-only sink after skip-mode pruning); from_json
+    # honors the identical PERMISSIVE corrupt-record contract without
+    # that restriction.
+    reader = spark.readStream
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.json(path)
+    df = (
+        reader.text(path)
+        .filter(F.trim(F.col("value")) != "")
+        .select(
+            F.from_json(
+                "value",
+                full,
+                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT_COL},
+            ).alias("_j")
+        )
+        .select("_j.*")
+    )
     if bad_lines == "keep":
         return df
     return df.filter(F.col(_CORRUPT_COL).isNull()).drop(_CORRUPT_COL)

@@ -20,6 +20,16 @@ def test_ref_classification():
     assert not is_catalog_ref("data/corpus")
     assert not is_catalog_ref("corpus.parquet/")
     assert not is_catalog_ref("3bad.name")
+    # bare file names with data extensions are paths, not tables —
+    # 'corpus.jsonl' must reach load_corpus's JSONL branch
+    assert not is_catalog_ref("corpus.jsonl")
+    assert not is_catalog_ref("data.parquet")
+    assert not is_catalog_ref("shard.json")
+    assert not is_catalog_ref("dump.csv")
+    assert not is_catalog_ref("corpus.jsonl.gz")
+    # …but a genuine dotted table identifier still dispatches to the
+    # catalog
+    assert is_catalog_ref("lake.db.sigs")
 
 
 def test_catalog_roundtrip_replace_and_append(spark):

@@ -146,6 +146,12 @@ def test_jsonl_round_trip_and_bad_line_policies(spark, tmp_path):
     )
     good = read_documents_jsonl(spark, str(raw), bad_lines="skip")
     assert {r.doc_id for r in good.collect()} == {1, 2}
+    # aggregate-only consumer: column pruning must not leave the scan
+    # referencing only the corrupt column (the JSON data source raises
+    # QUERY_ONLY_CORRUPT_RECORD_COLUMN for that shape; the text +
+    # from_json reader has no such restriction)
+    assert read_documents_jsonl(spark, str(raw), bad_lines="skip").count() == 2
+    assert read_documents_jsonl(spark, str(raw), bad_lines="keep").count() == 3
 
     kept = read_documents_jsonl(spark, str(raw), bad_lines="keep")
     rows = kept.collect()

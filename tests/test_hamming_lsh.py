@@ -173,3 +173,81 @@ def test_hamming_pairs_plan_has_no_cartesian(spark, sketches, n_agree):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hamming_auto_cap_inert_below_threshold(spark, sketches):
+    """The "auto" default must resolve to NO cap below
+    AUTO_CAP_MIN_SKETCHES — byte-identical to explicit exact mode (the
+    driver-scale hash-matches depend on this)."""
+    auto = {
+        tuple(r)
+        for r in hamming_pairs(sketches, radius=10).collect()
+    }
+    exact = {
+        tuple(r)
+        for r in hamming_pairs(
+            sketches, radius=10, max_key_group=None
+        ).collect()
+    }
+    assert auto == exact
+
+
+def test_hamming_auto_cap_engages_at_scale(spark, sketches):
+    """Past the (monkeypatched) threshold at radius >= 6 the auto
+    policy must cap hot keys: the capped result is a SUBSET of exact,
+    every surviving pair is within radius, and hamming_key_stats
+    reports the truncated keys under the same policy."""
+    from imageduplicatefinder_spark.operators import hamming_lsh as H
+
+    old_cap_min, old_cap, old_m2 = (
+        H.AUTO_CAP_MIN_SKETCHES, H.AUTO_MAX_KEY_GROUP, H.AUTO_M2_MIN_SKETCHES
+    )
+    # tiny thresholds so the 135-sketch fixture counts as "at scale";
+    # cap 2 guarantees truncation inside the 13-member planted family
+    H.AUTO_CAP_MIN_SKETCHES = 10
+    H.AUTO_MAX_KEY_GROUP = 2
+    try:
+        capped = {
+            tuple(r) for r in hamming_pairs(sketches, radius=10).collect()
+        }
+        exact = {
+            tuple(r)
+            for r in hamming_pairs(
+                sketches, radius=10, max_key_group=None
+            ).collect()
+        }
+        assert capped <= exact
+        assert len(capped) < len(exact)  # cap 2 must actually truncate
+        assert all(h <= 10 for _, _, h in capped)
+        # same-sketch pairs bypass the key join -> never dropped by a cap
+        assert all(p in capped for p in exact if p[2] == 0)
+        from imageduplicatefinder_spark.operators.hamming_lsh import (
+            hamming_key_stats,
+        )
+        stats = hamming_key_stats(sketches, radius=10)
+        assert stats.filter(F.col("capped")).count() > 0
+        assert stats.filter(
+            F.col("capped") & (F.col("group_size") <= 2)
+        ).count() == 0
+    finally:
+        H.AUTO_CAP_MIN_SKETCHES = old_cap_min
+        H.AUTO_MAX_KEY_GROUP = old_cap
+        H.AUTO_M2_MIN_SKETCHES = old_m2
+
+
+def test_hamming_key_stats_profile_no_cap(spark, sketches):
+    """Below the auto threshold the stats frame is a pure key-skew
+    profile: every row capped=false, group sizes sum to the total key
+    row count."""
+    from imageduplicatefinder_spark.operators.hamming_lsh import (
+        hamming_key_stats,
+    )
+
+    stats = hamming_key_stats(sketches, radius=10)
+    assert stats.filter(F.col("capped")).count() == 0
+    n_keys = sketch_keys(
+        sketches.select("simhash").distinct(), 10, sketch_col="simhash",
+        n_sketches=sketches.select("simhash").distinct().count(),
+    ).count()
+    total = stats.agg(F.sum("group_size")).collect()[0][0]
+    assert total == n_keys

@@ -764,3 +764,112 @@ def test_license_profile_tallies(spark, tmp_path):
     assert by_lang["java"] == (1, 1, 0, 0, 0, 0)  # 1 doc, MIT, licensed
     assert by_lang["py"] == (3, 0, 0, 0, 0, 3)
     assert by_lang["go"] == (2, 0, 0, 0, 0, 2)
+
+
+def test_lsh_recall_report_empty_corpus_cross_engine(spark, tmp_path):
+    """Degenerate-input parity (the round-3 advice finding): on an
+    EMPTY corpus the audit row must be (0, 0, 0, 0, 1000, 1000) in both
+    engines — a global Spark agg over zero rows yields NULL sums unless
+    coalesced OUTSIDE the sum, while the oracle's count() yields 0."""
+    _write_docs(spark, tmp_path, [])
+    s = [tuple(r) for r in
+         QUERIES["lsh_recall_report"](spark, str(tmp_path)).collect()]
+    con = _duck_docs(tmp_path)
+    o = [tuple(r) for r in con.sql(ORACLES["lsh_recall_report"]).fetchall()]
+    assert s == o == [(0, 0, 0, 0, 1000, 1000)]
+
+
+def test_tfidf_three_forms_identical_and_cross_engine(spark, tmp_path):
+    """The brute token self-join, the weighted-prefix-filtered join,
+    and the dense block-matrix tile join are THREE PLANS for ONE
+    operator (TF-IDF cosine >= 0.9, integer-exact): on a planted
+    corpus with both qualifying and non-qualifying near-dups all three
+    must return the identical pair set, and all three must match the
+    shared DuckDB oracle. The corpus vocabulary is large enough that
+    the prefix filter actually prunes (rare tokens exist) and small
+    enough for the dense form's vocab guard."""
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india "
+        "juliet kilo lima mike november oscar papa quebec romeo"
+    )
+    forks = [
+        (1, base),
+        # one extra occurrence of a shared token: with every base token
+        # at df=2/w=3 and the doubled one at w=6, cos^2 =
+        # 171^2/(162*189) ~= 0.955 >= 0.81 -> qualifying pair
+        (2, base + " alpha"),
+        # one rare-token swap: the two df=1 swapped tokens carry weight
+        # 6 vs the shared 3s, cos^2 = 153^2/189^2 ~= 0.655 -> rejected
+        # (exercises the verify stage on a surviving candidate)
+        (6, base.replace("quebec", "sierra")),
+        # disjoint-vocab rewrite pair: exact token multiset permutation
+        # -> cosine exactly 1 -> qualifying
+        (3, "tango uniform victor whiskey xray yankee zulu "
+            "gamma theta sigma omega lambda epsilon"),
+        (4, "zulu yankee xray whiskey victor uniform tango "
+            "epsilon lambda omega sigma theta gamma"),
+        (5, "entirely disjoint vocabulary one two three four five six"),
+    ]
+    _write_docs(spark, tmp_path, forks)
+    runs = {
+        name: sorted(tuple(r) for r in
+                     QUERIES[name](spark, str(tmp_path)).collect())
+        for name in (
+            "tfidf_cosine_pairs",
+            "tfidf_cosine_prefix_pairs",
+            "tfidf_cosine_dense_pairs",
+        )
+    }
+    brute = runs["tfidf_cosine_pairs"]
+    pairs = {(a, b) for a, b, *_ in brute}
+    assert pairs == {(1, 2), (3, 4)}
+    assert runs["tfidf_cosine_prefix_pairs"] == brute
+    assert runs["tfidf_cosine_dense_pairs"] == brute
+    con = _duck_docs(tmp_path)
+    o = sorted(tuple(r) for r in
+               con.sql(ORACLES["tfidf_cosine_pairs"]).fetchall())
+    assert brute == o
+
+
+def test_tfidf_dense_vocab_guard(spark, tmp_path):
+    """The dense tile join densifies to |vocab| columns; past the
+    guard it must REFUSE loudly and point at the prefix form rather
+    than OOM an executor."""
+    import pytest as _pytest
+
+    from imageduplicatefinder_spark import queries as Q
+
+    forks = [
+        (i, " ".join(f"tok{i}w{j}" for j in range(40))) for i in range(4)
+    ]
+    _write_docs(spark, tmp_path, forks)
+    old = Q._TFIDF_DENSE_VOCAB_MAX
+    Q._TFIDF_DENSE_VOCAB_MAX = 8
+    try:
+        with _pytest.raises(ValueError, match="prefix"):
+            QUERIES["tfidf_cosine_dense_pairs"](spark, str(tmp_path))
+    finally:
+        Q._TFIDF_DENSE_VOCAB_MAX = old
+
+
+def test_token_set_dup_pairs_cross_engine(spark, tmp_path):
+    """Pair-emitting token-set exact dup: reorder and repeat twins
+    pair up (set semantics), disjoint docs do not; cross-engine.
+    (Runs of spaces yield empty-string tokens in BOTH engines' split —
+    a doc with doubled spaces is deliberately a DIFFERENT set class,
+    pinned by doc 5 pairing with nothing.)"""
+    forks = [
+        (1, "the quick brown fox"),
+        (2, "fox brown the quick"),      # reorder twin
+        (3, "the quick brown fox fox"),  # repeat twin (set semantics)
+        (4, "something else entirely"),
+        (5, "the quick  brown fox"),     # doubled space -> '' token
+    ]
+    _write_docs(spark, tmp_path, forks)
+    s = sorted(tuple(r) for r in
+               QUERIES["token_set_dup_pairs"](spark, str(tmp_path)).collect())
+    assert s == [(1, 2), (1, 3), (2, 3)]
+    con = _duck_docs(tmp_path)
+    o = sorted(tuple(r) for r in
+               con.sql(ORACLES["token_set_dup_pairs"]).fetchall())
+    assert s == o

@@ -9,10 +9,16 @@ Usage: python tools/dump_plans.py [sf_dir]
 from __future__ import annotations
 
 import io
+import re
 import sys
 from contextlib import redirect_stdout
 
 sys.path.insert(0, ".")
+
+#: queries whose plan may contain a BroadcastNestedLoopJoin — each is a
+#: 1-row corpus-count scalar attach (cross join against a global agg),
+#: verified structurally below; everything else must be BNL-free
+ALLOW_BNL = frozenset({"tfidf_cosine_pairs", "unigram_logprob_quality"})
 
 ANNOTATED = {
     "ngram_jaccard_pairs": (
@@ -162,11 +168,17 @@ def main() -> None:
         out.append("")
         flat = plan
         assert "CartesianProduct" not in flat, name
-        # single-row scalar attaches (corpus count) legitimately plan as a
-        # 1-row broadcast nested loop — allowed only where the annotation
-        # documents it
-        if "1-row" not in note:
+        # single-row scalar attaches (corpus count) legitimately plan as
+        # a 1-row broadcast nested loop — allowed ONLY for queries on the
+        # explicit allowlist (never inferred from annotation prose, which
+        # silently widened the exemption), and even there the build side
+        # must be a single-row aggregate, not a real relation
+        if name not in ALLOW_BNL:
             assert "BroadcastNestedLoopJoin" not in flat, name
+        elif "BroadcastNestedLoopJoin" in flat:
+            assert re.search(
+                r"BroadcastNestedLoopJoin[^\n]*\n(.|\n)*?HashAggregate", flat
+            ), f"{name}: BNL build side is not a 1-row aggregate"
     with open("PLANS.md", "w") as f:
         f.write("\n".join(out))
     print(f"wrote PLANS.md ({len(ANNOTATED)} queries, no cartesian/BNL)")
