@@ -86,7 +86,11 @@ AUTO_M2_MIN_SKETCHES = 50_000
 #: even at m=2 (uniform 64-bit sketches: ~91M candidates at 64k, x~19
 #: at 256k — BENCH.md round 3); with a per-key cap candidates are
 #:   <= S * C(radius+m, m) * cap   — LINEAR in S
-#: (measured growth exponent 0.211 at 64k->256k with cap 128). The cap
+#: (measured: cap 32 gives growth exponent 0.211 at 64k->256k, 45.0M ->
+#: 60.3M candidates, while cap 128 barely engages — uniform m=2 key
+#: groups at 256k run 62-250 deep, so 128 leaves the quadratic mostly
+#: intact at exponent 1.53; both measured via
+#: tools/bench_hamming_candidates.py, BENCH.md rounds 3-4). The cap
 #: engages only past AUTO_CAP_MIN_SKETCHES distinct sketches, so small
 #: and clustered corpora — where every key group is tiny and the cap
 #: would never trigger anyway — skip the group-size pass entirely and
@@ -95,7 +99,7 @@ AUTO_M2_MIN_SKETCHES = 50_000
 #: any scale stays one explicit ``max_key_group=None`` away, and
 #: ``hamming_key_stats`` surfaces exactly which keys a cap truncated.
 AUTO_CAP_MIN_SKETCHES = 50_000
-AUTO_MAX_KEY_GROUP = 128
+AUTO_MAX_KEY_GROUP = 32
 _AUTO_CAP_MIN_RADIUS = 6
 
 

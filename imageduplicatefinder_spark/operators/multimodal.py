@@ -15,6 +15,19 @@ deterministic feature vector derived from the bytes so the Spark-side
 plumbing — schema, partitioning, UDF signature, Arrow batch shape —
 is fully real and tested everywhere.
 
+``decode="bmp"`` is a third, ALWAYS-AVAILABLE real decode: a pure
+struct+numpy reader for uncompressed BMP (BI_RGB, 8/24/32 bpp,
+bottom-up and top-down) — BMP is on the reference's own extension list
+(ref: app/Commands.java:74) and needs no codec library, so the
+black-image -> sketch 0 / constant-image -> sketch 1 pHash goldens and
+a perturbation-family E2E run unconditionally in containers without
+Pillow. Luminance is ITU-R BT.601 (the same weights PIL's "L" uses);
+the 8x8 resample is half-pixel-center bilinear. Cross-library
+bit-exactness is a non-goal (the reference's AWT bilinear has no
+portable spec either) — the goldens and family tests pin THIS kernel.
+``encode_bmp`` is the matching writer, used by fixtures and the
+media-rendering queries.
+
 Schema conventions:
     media table:    id:long, kind:string, meta:struct<...>, data:binary
     features out:   id:long, kind:string, width:int, height:int,
@@ -91,24 +104,147 @@ def _real_decode(data: bytes) -> tuple[int, int, np.ndarray]:
         return 0, 0, np.zeros(REAL_FEATURE_DIM, dtype=np.float32)
 
 
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Write an (h, w, 3) uint8 RGB array — or (h, w) grayscale, which
+    is replicated across channels — as a 24-bit uncompressed bottom-up
+    BMP (BITMAPINFOHEADER). The writer half of the codec-free BMP path;
+    round-trip pinned against ``decode_bmp`` in tests."""
+    import struct
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = np.stack([px] * 3, axis=-1)
+    if px.ndim != 3 or px.shape[2] != 3 or px.shape[0] == 0 or px.shape[1] == 0:
+        raise ValueError(f"encode_bmp wants (h, w[, 3]) uint8, got {px.shape}")
+    h, w, _ = px.shape
+    stride = ((24 * w + 31) // 32) * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = px[..., ::-1].reshape(h, w * 3)  # RGB -> BGR
+    pix = rows[::-1].tobytes()  # bottom-up
+    off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", off + len(pix), 0, 0, off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0
+    )
+    return header + dib + pix
+
+
+def decode_bmp(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Pure struct+numpy uncompressed-BMP reader (no codec library):
+    BI_RGB only, 8 bpp (palette), 24 bpp (BGR) and 32 bpp (BGRA),
+    bottom-up or top-down, any DIB header >= BITMAPINFOHEADER.
+
+    Returns (width, height, gray) where ``gray`` is an (h, w) float64
+    BT.601 luminance plane (0.299 R + 0.587 G + 0.114 B). Raises
+    ValueError on anything that is not a well-formed uncompressed BMP —
+    per-row error ISOLATION is the caller's job (``_bmp_decode``
+    degrades to the (0, 0, zeros) row, ref: app/Commands.java:76-84).
+    """
+    import struct
+
+    if data is None or len(data) < 54 or bytes(data[:2]) != b"BM":
+        raise ValueError("not a BMP payload")
+    data = bytes(data)
+    (off,) = struct.unpack_from("<I", data, 10)
+    (hdr_size,) = struct.unpack_from("<I", data, 14)
+    if hdr_size < 40:
+        raise ValueError(f"unsupported DIB header size {hdr_size}")
+    w, h_raw = struct.unpack_from("<ii", data, 18)
+    _planes, bpp = struct.unpack_from("<HH", data, 26)
+    (compression,) = struct.unpack_from("<I", data, 30)
+    if compression != 0:
+        raise ValueError(f"compressed BMP (method {compression}) unsupported")
+    if bpp not in (8, 24, 32):
+        raise ValueError(f"unsupported bit depth {bpp}")
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    if w <= 0 or h <= 0:
+        raise ValueError(f"bad dimensions {w}x{h_raw}")
+    stride = ((bpp * w + 31) // 32) * 4
+    if len(data) < off + stride * h or off < 14 + hdr_size:
+        raise ValueError("truncated BMP pixel data")
+    raw = np.frombuffer(data, dtype=np.uint8, count=stride * h,
+                        offset=off).reshape(h, stride)
+    if not top_down:
+        raw = raw[::-1]
+    if bpp == 8:
+        pal_off = 14 + hdr_size
+        n_pal = (off - pal_off) // 4
+        if n_pal <= 0:
+            raise ValueError("8 bpp BMP without a palette")
+        pal = np.frombuffer(
+            data, dtype=np.uint8, count=n_pal * 4, offset=pal_off
+        ).reshape(n_pal, 4)[:, :3]  # B, G, R (X ignored)
+        idx = raw[:, :w]
+        if int(idx.max(initial=0)) >= n_pal:
+            raise ValueError("palette index out of range")
+        bgr = pal[idx]
+    else:
+        ch = bpp // 8
+        bgr = raw[:, : w * ch].reshape(h, w, ch)[:, :, :3]
+    gray = (
+        0.114 * bgr[..., 0].astype(np.float64)
+        + 0.587 * bgr[..., 1]
+        + 0.299 * bgr[..., 2]
+    )
+    return w, h, gray
+
+
+def bilinear_resize(gray: np.ndarray, out_h: int = 8,
+                    out_w: int = 8) -> np.ndarray:
+    """Half-pixel-center bilinear resample of a 2-D plane (the portable
+    analog of the reference's AWT VALUE_INTERPOLATION_BILINEAR,
+    ref: core/Resize.java:6-13). Deterministic, vectorized, edge-clamped."""
+    h, w = gray.shape
+    ys = (np.arange(out_h, dtype=np.float64) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w, dtype=np.float64) + 0.5) * w / out_w - 0.5
+    y0f, x0f = np.floor(ys), np.floor(xs)
+    wy, wx = ys - y0f, xs - x0f
+    y0 = np.clip(y0f.astype(np.int64), 0, h - 1)
+    y1 = np.clip(y0f.astype(np.int64) + 1, 0, h - 1)
+    x0 = np.clip(x0f.astype(np.int64), 0, w - 1)
+    x1 = np.clip(x0f.astype(np.int64) + 1, 0, w - 1)
+    top = gray[y0][:, x0] * (1 - wx)[None, :] + gray[y0][:, x1] * wx[None, :]
+    bot = gray[y1][:, x0] * (1 - wx)[None, :] + gray[y1][:, x1] * wx[None, :]
+    return top * (1 - wy)[:, None] + bot * wy[:, None]
+
+
+def _bmp_decode(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Codec-free real decode kernel: BMP read -> BT.601 luminance ->
+    8x8 bilinear block (the exact input phash64 consumes). Malformed
+    payloads degrade to the (0, 0, zeros) row — per-row error isolation
+    (ref: app/Commands.java:76-84), same contract as ``_real_decode``."""
+    if data is None or len(data) == 0:
+        return 0, 0, np.zeros(REAL_FEATURE_DIM, dtype=np.float32)
+    try:
+        w, h, gray = decode_bmp(data)
+        block = bilinear_resize(gray, 8, 8)
+        return w, h, block.reshape(REAL_FEATURE_DIM).astype(np.float32)
+    except ValueError:
+        return 0, 0, np.zeros(REAL_FEATURE_DIM, dtype=np.float32)
+
+
 def extract_features(media: DataFrame, decode: str = "fake") -> DataFrame:
     """media(id, kind, data:binary) -> per-item feature rows.
 
     ``mapInPandas`` so one Arrow batch is one numpy workload;
-    ``decode="real"`` (needs Pillow) and ``decode="fake"`` share the
-    schema, batching and partitioning — only the per-row kernel
-    differs.
+    ``decode="real"`` (needs Pillow), ``decode="bmp"`` (codec-free
+    struct+numpy BMP reader — always available) and ``decode="fake"``
+    share the schema, batching and partitioning — only the per-row
+    kernel differs.
     """
-    if decode not in ("fake", "real"):
+    if decode not in ("fake", "real", "bmp"):
         raise ValueError(f"unknown decode mode {decode!r}")
     if decode == "real" and not HAS_PIL:
         # raise at PLAN time, driver-side: an executor-side surprise
         # after a long upstream job would be strictly worse
         raise NotImplementedError(
             "decode='real' requires Pillow, which is not installed in "
-            "this environment; use decode='fake' for plumbing tests"
+            "this environment; use decode='bmp' (codec-free) or "
+            "decode='fake' for plumbing tests"
         )
-    kernel = _real_decode if decode == "real" else _fake_decode
+    kernel = {"fake": _fake_decode, "real": _real_decode,
+              "bmp": _bmp_decode}[decode]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

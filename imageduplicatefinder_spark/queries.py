@@ -4528,26 +4528,56 @@ SQL_EMBEDDING_NEARDUP_LSH_AMPLIFIED = _embedding_neardup_lsh_amplified_sql()
 
 
 def q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal dedup end-to-end: documents' bytes treated as opaque
-    media payloads -> feature extraction (stubbed decode, real Arrow
-    plumbing) -> pHash-DCT 64-bit sketch (ref: hash/PHashDct.java:13-57)
-    -> Hamming-radius pairs via the generic bit-chunk LSH. Spark-only:
-    the decode stub and DCT have no SQL analog (rows-only check; the
-    DCT kernel is golden-tested in tests/test_multimodal_streaming.py).
+    """Multimodal dedup end-to-end with a REAL image decode: each doc
+    is rendered as a deterministic 16x16 grayscale image (the 2-D
+    histogram of its crc32-hashed 3-word shingles — shift-robust, so
+    word-level near-dup texts produce near-identical pictures while
+    unrelated docs from the same vocabulary light up different pixels),
+    written
+    as a real 24-bit BMP (``encode_bmp``), then pushed through the
+    codec-free decode path — BMP parse -> BT.601 luminance -> 8x8
+    bilinear block (``decode="bmp"``, ref: core/ImageLoader.java:7-12,
+    core/Gray.java:6-10, core/Resize.java:6-13) -> pHash-DCT 64-bit
+    sketch (ref: hash/PHashDct.java:13-57) -> Hamming-radius pairs via
+    the generic bit-chunk LSH. Spark-only: the image render and DCT
+    have no SQL analog (rows-only check; the BMP codec, resize and DCT
+    kernels are golden-tested in tests/test_multimodal_streaming.py).
     """
     from imageduplicatefinder_spark.operators.hamming_lsh import hamming_pairs
     from imageduplicatefinder_spark.operators.multimodal import (
+        encode_bmp,
         extract_features,
         phash64,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    media = docs.select(
-        F.col("doc_id").alias("id"),
-        F.lit("text").alias("kind"),
-        F.encode(F.col("text"), "UTF-8").alias("data"),
+
+    def render(batches):
+        import numpy as np
+        import pandas as pd
+
+        import zlib
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for _id, txt in zip(pdf["doc_id"], pdf["text"]):
+                toks = (txt or "").split()
+                hist = np.zeros((16, 16), dtype=np.float64)
+                for i in range(len(toks) - 2):
+                    h = zlib.crc32(" ".join(toks[i : i + 3]).encode())
+                    hist[(h >> 4) & 15, h & 15] += 1.0
+                peak = hist.max()
+                img = (hist * (255.0 / peak) if peak else hist).astype(
+                    np.uint8
+                )
+                ids.append(_id)
+                blobs.append(encode_bmp(img))
+            yield pd.DataFrame({"id": ids, "kind": "text", "data": blobs})
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        render, "id long, kind string, data binary"
     )
-    sketches = phash64(extract_features(media, decode="fake"))
+    sketches = phash64(extract_features(media, decode="bmp"))
     return hamming_pairs(sketches, radius=2, id_col="id", sketch_col="phash")
 
 

@@ -557,3 +557,149 @@ def test_stream_documents_jsonl_skips_corrupt_lines(spark, tmp_path):
 
     with pytest.raises(ValueError):
         stream_documents_jsonl(spark, str(d), bad_lines="strict")
+
+
+# ---------------------------------------------------------------------------
+# Codec-free BMP decode path: the reference goldens with NO optional deps
+# (ref extension list includes .bmp — app/Commands.java:74)
+# ---------------------------------------------------------------------------
+
+
+def test_bmp_codec_roundtrip_variants():
+    """encode_bmp -> decode_bmp is exact BT.601 luminance for RGB and
+    grayscale inputs, at widths that do and don't need row padding;
+    top-down and 32-bpp payloads decode identically to their bottom-up
+    24-bpp twins; malformed payloads raise ValueError."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from imageduplicatefinder_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rng = np.random.default_rng(42)
+    for shape in ((13, 21, 3), (8, 8, 3), (5, 1, 3), (1, 7, 3)):
+        rgb = rng.integers(0, 256, shape, dtype=np.uint8)
+        w, h, gray = decode_bmp(encode_bmp(rgb))
+        assert (w, h) == (shape[1], shape[0])
+        ref = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+        assert np.abs(gray - ref).max() < 1e-9
+
+    # hand-build a top-down 32-bpp BMP and check it decodes like the
+    # bottom-up 24-bpp encoding of the same pixels
+    rgb = rng.integers(0, 256, (4, 3, 3), dtype=np.uint8)
+    h_, w_ = rgb.shape[:2]
+    bgra = np.zeros((h_, w_, 4), dtype=np.uint8)
+    bgra[..., :3] = rgb[..., ::-1]
+    pix = bgra.tobytes()  # top-down: row 0 first, negative height
+    off = 14 + 40
+    blob = (
+        struct.pack("<2sIHHI", b"BM", off + len(pix), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, w_, -h_, 1, 32, 0,
+                      len(pix), 0, 0, 0, 0)
+        + pix
+    )
+    _, _, gray32 = decode_bmp(blob)
+    _, _, gray24 = decode_bmp(encode_bmp(rgb))
+    assert np.abs(gray32 - gray24).max() < 1e-9
+
+    # 8-bpp palette: identity grayscale palette -> luminance == index
+    idx = rng.integers(0, 256, (3, 5), dtype=np.uint8)
+    stride = ((8 * 5 + 31) // 32) * 4
+    rows = np.zeros((3, stride), dtype=np.uint8)
+    rows[:, :5] = idx
+    pix8 = rows[::-1].tobytes()
+    pal = bytes(
+        b for v in range(256) for b in (v, v, v, 0)
+    )  # B=G=R=v
+    off8 = 14 + 40 + 1024
+    blob8 = (
+        struct.pack("<2sIHHI", b"BM", off8 + len(pix8), 0, 0, off8)
+        + struct.pack("<IiiHHIIiiII", 40, 5, 3, 1, 8, 0,
+                      len(pix8), 0, 0, 256, 0)
+        + pal
+        + pix8
+    )
+    _, _, gray8 = decode_bmp(blob8)
+    assert np.abs(gray8 - idx.astype(np.float64)).max() < 1e-9
+
+    for bad in (b"", b"BM", b"PNGnot a bmp" * 10,
+                encode_bmp(np.zeros((4, 4), np.uint8))[:-20]):  # truncated
+        with _pytest.raises(ValueError):
+            decode_bmp(bad)
+
+
+def test_bmp_decode_phash_reference_goldens_always_on(spark):
+    """The reference pHash goldens (black image -> sketch 0, constant
+    non-zero image -> sketch 1) through a REAL decode, unconditionally —
+    no Pillow required (ref: src/test/java/hash/PHashDctTest.java:49-99)."""
+    import numpy as np
+
+    from imageduplicatefinder_spark.operators.multimodal import (
+        REAL_FEATURE_DIM,
+        encode_bmp,
+        phash64,
+    )
+
+    rows = [
+        (1, "image", encode_bmp(np.zeros((32, 32), np.uint8))),
+        (2, "image", encode_bmp(np.full((32, 32), 200, np.uint8))),
+        (3, "image", b"not an image"),  # malformed -> degenerate row
+    ]
+    media = spark.createDataFrame(rows, "id long, kind string, data binary")
+    feats = extract_features(media, decode="bmp")
+    frows = {r.id: r for r in feats.collect()}
+    assert frows[1].width == 32 and frows[1].height == 32
+    assert len(frows[1].feature) == REAL_FEATURE_DIM
+    assert frows[3].width == 0 and frows[3].feature == [0.0] * REAL_FEATURE_DIM
+    hashes = {r.id: r.phash for r in phash64(feats).collect()}
+    assert hashes[1] == 0  # black golden
+    assert hashes[2] == 1  # constant golden (DC bit only)
+    assert hashes[3] == 0  # degenerate row behaves like black
+
+
+def test_bmp_perturbation_family_e2e(spark):
+    """Fixture-family E2E over real BMPs: a base image, mild per-pixel
+    perturbations of it, and unrelated noise images — decode="bmp" ->
+    phash64 -> hamming_pairs must group the family and exclude the
+    noise (the always-on analog of the PIL-gated decode E2E)."""
+    import numpy as np
+
+    from imageduplicatefinder_spark.operators.hamming_lsh import hamming_pairs
+    from imageduplicatefinder_spark.operators.multimodal import (
+        encode_bmp,
+        phash64,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+    rows = []
+    for i in range(4):  # family 1..4: base +- small noise
+        noisy = np.clip(
+            base.astype(np.int16) + rng.integers(-6, 7, base.shape), 0, 255
+        ).astype(np.uint8)
+        rows.append((i + 1, "image", encode_bmp(noisy)))
+    for i in range(4):  # unrelated 101..104
+        rows.append(
+            (101 + i, "image",
+             encode_bmp(rng.integers(0, 256, (32, 32), dtype=np.uint8)))
+        )
+    media = spark.createDataFrame(rows, "id long, kind string, data binary")
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in hamming_pairs(
+            phash64(extract_features(media, decode="bmp")),
+            radius=6, id_col="id", sketch_col="phash",
+        ).collect()
+    }
+    fam = {1, 2, 3, 4}
+    from itertools import combinations as _comb
+
+    for a, b in _comb(sorted(fam), 2):
+        assert (a, b) in pairs, f"family pair {(a, b)} missing"
+    assert not any(
+        (a in fam) != (b in fam) for a, b in pairs
+    ), "family linked to an unrelated image"

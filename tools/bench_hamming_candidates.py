@@ -38,6 +38,8 @@ sys.path.insert(0, ".")
 from pyspark.sql import DataFrame, functions as F  # noqa: E402
 
 from imageduplicatefinder_spark.operators.hamming_lsh import (  # noqa: E402
+    _auto_max_key_group,
+    _auto_n_agree,
     capped_sketch_keys,
     sketch_keys,
 )
@@ -105,6 +107,11 @@ def main() -> None:
                       master="local[8]", shuffle_partitions=16)
     schemes = []
     for s in spec.split(","):
+        if s == "auto":
+            # the operator's default policy, resolved per corpus size
+            # below — NO manual flag, the round-4 verdict criterion
+            schemes.append((s, None, "auto"))
+            continue
         m = int(s[1])
         cap = int(s.split("_cap")[1]) if "_cap" in s else None
         schemes.append((s, m, cap))
@@ -113,7 +120,12 @@ def main() -> None:
         sk = synth_sketches(spark, size).localCheckpoint(eager=True)
         n_distinct = sk.select("simhash").distinct().count()
         for name, m, cap in schemes:
+            if name == "auto":
+                m = _auto_n_agree(radius, n_distinct)
+                cap = _auto_max_key_group(radius, n_distinct)
             r = count_candidates(sk, radius, m, cap)
+            if name == "auto":
+                r.update(resolved_m=m, resolved_cap=cap)
             r.update(size=size, distinct_sketches=n_distinct, scheme=name)
             results.setdefault(name, {})[size] = r
             print(json.dumps(r), flush=True)
