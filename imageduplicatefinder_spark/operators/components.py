@@ -17,6 +17,32 @@ needed = graph diameter; near-dup clusters are shallow (dup families of
 realistic inputs. Each round ``localCheckpoint``s to truncate lineage —
 without it the plan doubles per iteration and the job dies at scale
 (SURVEY.md §4 hard part (a)).
+
+Driver-job economy (the round-3 F ~= 32 s job-submit constant,
+BENCH.md): three levers, measured on sf0.1 via tools/bench_cc_jobs.py
+(simhash_radius_clusters 69 -> 24 driver jobs, near_dup_clusters_exact
+29 -> 17, identical row counts; walls in BENCH.md round-4):
+
+- rounds are built LAZILY and the label-sum convergence check only
+  runs every ``check_every`` rounds — the k unchecked rounds execute
+  inside the next check's single action. The label sum is strictly
+  monotone under min-propagation, so equality across a k-round block
+  proves every round in the block was a no-op; batching cannot
+  mis-detect convergence;
+- the loop runs with AQE OFF: under AQE every shuffle stage of every
+  check materializes as its own driver job (~0.2 s submit latency
+  each — the dominant cost for an iterative algorithm on small-ish
+  label tables), while the loop's shuffle sizes are fully known after
+  the first round anyway;
+- the loop's shuffle-partition count is taken from the AQE-coalesced
+  materialized edge table (data-sized: a handful at test scale,
+  thousands at 100 TB), not the session default — AQE would have made
+  the same choice per-stage, this makes it once.
+
+Both session confs are saved and restored in a ``finally``; the loop
+is driver-synchronous, so no concurrently-submitted query observes
+the override unless the caller shares one session across threads
+mid-call (documented trade).
 """
 
 from __future__ import annotations
@@ -29,6 +55,7 @@ def connected_components(
     edges: DataFrame,
     max_iterations: int = 50,
     on_nonconverged: str = "raise",
+    check_every: int = 2,
 ) -> DataFrame:
     """edges(src:long, dst:long) -> (doc_id:long, cluster_id:long).
 
@@ -42,53 +69,84 @@ def connected_components(
     containment hosts), the labels would silently split one component
     into several clusters, so the default is to ``raise``; pass
     ``on_nonconverged="warn"`` to log and return the partial labels.
+
+    ``check_every`` batches that many propagation rounds into ONE Spark
+    action (the convergence check): driver jobs ~ rounds/check_every
+    instead of one per round, at the cost of up to check_every-1
+    no-op rounds of extra (cheap, already-converged) shuffle compute.
+    Correctness is unaffected — the monotone label sum stalls iff every
+    round in the block was a no-op, and min-propagation is idempotent
+    at the fixpoint.
     """
     if on_nonconverged not in ("raise", "warn"):
         raise ValueError(f"unknown on_nonconverged {on_nonconverged!r}")
+    if check_every < 1:
+        raise ValueError(f"check_every must be >= 1, got {check_every}")
+    spark = edges.sparkSession
     sym = edges.select(
         F.col("src").alias("a"), F.col("dst").alias("b")
     ).union(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+    # eager, under the CALLER's AQE: the materialized partition count is
+    # AQE's data-sized estimate and becomes the loop's shuffle width
     sym = sym.localCheckpoint(eager=True)
+    loop_parts = max(sym.rdd.getNumPartitions(), 1)
 
-    # init: every node's label = its own id
+    # init: every node's label = its own id (lazy — the first label_sum
+    # materializes it)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     # Convergence check: labels only ever decrease under min-propagation,
     # so the exact sum of labels (decimal(38,0) — no overflow, no float
     # loss) is strictly monotone and stalls exactly at the fixpoint.
-    # One cheap aggregate per round instead of a join + count.
+    # One cheap aggregate per check instead of a join + count.
     def label_sum(df: DataFrame):
         return df.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
 
-    prev_sum = label_sum(labels)
+    conf = spark.conf
+    old_aqe = conf.get("spark.sql.adaptive.enabled")
+    old_parts = conf.get("spark.sql.shuffle.partitions")
     converged = False
-    for _ in range(max_iterations):
-        # neighbor messages: label(a) offered to b
-        msgs = sym.join(labels, sym.a == labels.node).select(
-            F.col("b").alias("node"), "label"
-        )
-        # lazy checkpoint: the label_sum action both materializes the
-        # round's result (truncating lineage) and tests convergence —
-        # exactly ONE Spark job per round
-        new_labels = (
-            msgs.union(labels.select("node", "label"))
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=False)
-        )
-        new_sum = label_sum(new_labels)
-        labels = new_labels
-        if new_sum == prev_sum:
-            converged = True
-            break
-        prev_sum = new_sum
+    try:
+        # AQE off for the loop: otherwise every shuffle stage of every
+        # check is its own driver job (see module docstring)
+        conf.set("spark.sql.adaptive.enabled", "false")
+        conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+        prev_sum = label_sum(labels)
+        rounds_since_check = 0
+        for i in range(max_iterations):
+            # neighbor messages: label(a) offered to b
+            msgs = sym.join(labels, sym.a == labels.node).select(
+                F.col("b").alias("node"), "label"
+            )
+            # lazy checkpoint: unchecked rounds stay unmaterialized and
+            # run inside the next check's single action (lineage still
+            # truncates at each round's checkpoint when that action
+            # computes them)
+            labels = (
+                msgs.union(labels.select("node", "label"))
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+                .localCheckpoint(eager=False)
+            )
+            rounds_since_check += 1
+            if rounds_since_check < check_every and i < max_iterations - 1:
+                continue
+            new_sum = label_sum(labels)
+            rounds_since_check = 0
+            if new_sum == prev_sum:
+                converged = True
+                break
+            prev_sum = new_sum
+    finally:
+        conf.set("spark.sql.adaptive.enabled", old_aqe)
+        conf.set("spark.sql.shuffle.partitions", old_parts)
 
     if not converged:
         msg = (
@@ -193,8 +251,13 @@ def connected_components_star(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        # eager, under the caller's AQE — the materialized partition
+        # count sizes the loop's shuffles (same rationale as
+        # connected_components)
         .localCheckpoint(eager=True)
     )
+    spark = edges.sparkSession
+    loop_parts = max(e.rdd.getNumPartitions(), 1)
 
     def checksum(df: DataFrame):
         row = df.agg(
@@ -203,42 +266,53 @@ def connected_components_star(
         ).collect()[0]
         return (row["n"], row["s"])
 
-    prev = checksum(e)
-    converged = prev[0] == 0
-    for _ in range(max_iterations):
-        if converged:
-            break
-        # large-star: m = min(closed neighborhood of u); (v, m) for v > u
-        sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
-            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
-        )
-        mins = sym.groupBy("u").agg(F.min("v").alias("_mv")).select(
-            "u", F.least("u", F.col("_mv")).alias("m")
-        )
-        ls = (
-            sym.join(mins, on="u")
-            .filter(F.col("v") > F.col("u"))
-            .select(F.col("m").alias("a"), F.col("v").alias("b"))
-            .distinct()
-        )
-        # small-star: orient edges v < u; m = min neighbor of u;
-        # re-attach every small neighbor AND u itself to m
-        oriented = ls.select(F.col("b").alias("u"), F.col("a").alias("v"))
-        smins = oriented.groupBy("u").agg(F.min("v").alias("m"))
-        ss = (
-            oriented.join(smins, on="u")
-            .select("v", "m")
-            .union(smins.select(F.col("u").alias("v"), "m"))
-            .filter(F.col("v") != F.col("m"))
-            .select(F.col("m").alias("a"), F.col("v").alias("b"))
-            .distinct()
-            .localCheckpoint(eager=False)
-        )
-        cur = checksum(ss)  # materializes the round (lineage truncated)
-        e = ss
-        if cur == prev:
-            converged = True
-        prev = cur
+    conf = spark.conf
+    old_aqe = conf.get("spark.sql.adaptive.enabled")
+    old_parts = conf.get("spark.sql.shuffle.partitions")
+    try:
+        # AQE off for the loop — per-stage driver jobs dominate an
+        # iterative algorithm's wall (see module docstring)
+        conf.set("spark.sql.adaptive.enabled", "false")
+        conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+        prev = checksum(e)
+        converged = prev[0] == 0
+        for _ in range(max_iterations):
+            if converged:
+                break
+            # large-star: m = min(closed neighborhood of u); (v, m) for v > u
+            sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+                e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+            )
+            mins = sym.groupBy("u").agg(F.min("v").alias("_mv")).select(
+                "u", F.least("u", F.col("_mv")).alias("m")
+            )
+            ls = (
+                sym.join(mins, on="u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("m").alias("a"), F.col("v").alias("b"))
+                .distinct()
+            )
+            # small-star: orient edges v < u; m = min neighbor of u;
+            # re-attach every small neighbor AND u itself to m
+            oriented = ls.select(F.col("b").alias("u"), F.col("a").alias("v"))
+            smins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+            ss = (
+                oriented.join(smins, on="u")
+                .select("v", "m")
+                .union(smins.select(F.col("u").alias("v"), "m"))
+                .filter(F.col("v") != F.col("m"))
+                .select(F.col("m").alias("a"), F.col("v").alias("b"))
+                .distinct()
+                .localCheckpoint(eager=False)
+            )
+            cur = checksum(ss)  # materializes the round (lineage truncated)
+            e = ss
+            if cur == prev:
+                converged = True
+            prev = cur
+    finally:
+        conf.set("spark.sql.adaptive.enabled", old_aqe)
+        conf.set("spark.sql.shuffle.partitions", old_parts)
 
     if not converged:
         msg = (
