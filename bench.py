@@ -185,30 +185,39 @@ def main() -> None:
     ).run(warm).plan.count()
     warm.unpersist()
 
-    t0 = time.monotonic()
-    pipe = DedupPipeline(
-        spark, DedupConfig(), checkpoint_dir=tempfile.mkdtemp(prefix="bench_ckpt_"),
-        durability=CKPT_MODE,
-    )
-    res = pipe.run(docs)
-    res.plan.count()
-    pipeline_wall = time.monotonic() - t0
+    # pipeline legs get the same min-of-2 treatment as the catalog
+    # queries (the graded artifact is taken under co-tenant load; a
+    # single run of a 20 s leg can read 3x on a bad window) — each run
+    # uses a FRESH checkpoint dir, otherwise the second run resumes
+    # from the first's checkpoints and times the reader, not the job
+    def timed_pipeline(name: str, cfg_obj, runs: int = 2) -> float:
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.monotonic()
+            DedupPipeline(
+                spark, cfg_obj,
+                checkpoint_dir=tempfile.mkdtemp(prefix="bench_ckpt_"),
+                durability=CKPT_MODE,
+            ).run(docs).plan.count()
+            best = min(best, time.monotonic() - t0)
+        timings[name] = round(best, 3)
+        return best
+
     mode = "distinct" if DISTINCT_MODE else "replica"
-    timings[f"dedup_pipeline_x{REPLICATE}_{mode}"] = round(pipeline_wall, 3)
+    pipeline_wall = timed_pipeline(
+        f"dedup_pipeline_x{REPLICATE}_{mode}", DedupConfig(),
+        runs=1 if pipeline_only else 2,
+    )
 
     # same workload through the prefix-filtering candidate scheme
     # (exact, no recall knob) — the lsh-vs-prefix comparison in the
     # graded artifact; the full 3-scheme x16 comparison lives in
     # tools/bench_candidate_schemes.py
     if not pipeline_only:
-        t0 = time.monotonic()
-        DedupPipeline(
-            spark, DedupConfig(candidates="prefix"),
-            checkpoint_dir=tempfile.mkdtemp(prefix="bench_ckpt_"),
-            durability=CKPT_MODE,
-        ).run(docs).plan.count()
-        timings[f"dedup_pipeline_x{REPLICATE}_{mode}_prefix"] = round(
-            time.monotonic() - t0, 3)
+        timed_pipeline(
+            f"dedup_pipeline_x{REPLICATE}_{mode}_prefix",
+            DedupConfig(candidates="prefix"),
+        )
     docs.unpersist()
 
     total = round(sum(timings.values()), 3)

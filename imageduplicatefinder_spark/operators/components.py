@@ -19,30 +19,25 @@ without it the plan doubles per iteration and the job dies at scale
 (SURVEY.md §4 hard part (a)).
 
 Driver-job economy (the round-3 F ~= 32 s job-submit constant,
-BENCH.md): three levers, measured on sf0.1 via tools/bench_cc_jobs.py
-(simhash_radius_clusters 69 -> 24 driver jobs, near_dup_clusters_exact
-29 -> 17, identical row counts; walls in BENCH.md round-4):
+BENCH.md): two levers were implemented and MEASURED this round, and
+the measurements say to keep per-round checks the default —
 
-- rounds are built LAZILY and the label-sum convergence check only
-  runs every ``check_every`` rounds — the k unchecked rounds execute
-  inside the next check's single action. The label sum is strictly
-  monotone under min-propagation, so equality across a k-round block
-  proves every round in the block was a no-op; batching cannot
-  mis-detect convergence;
-- the loop runs with AQE OFF: under AQE every shuffle stage of every
-  check materializes as its own driver job (~0.2 s submit latency
-  each — the dominant cost for an iterative algorithm on small-ish
-  label tables), while the loop's shuffle sizes are fully known after
-  the first round anyway;
-- the loop's shuffle-partition count is taken from the AQE-coalesced
-  materialized edge table (data-sized: a handful at test scale,
-  thousands at 100 TB), not the session default — AQE would have made
-  the same choice per-stage, this makes it once.
-
-Both session confs are saved and restored in a ``finally``; the loop
-is driver-synchronous, so no concurrently-submitted query observes
-the override unless the caller shares one session across threads
-mid-call (documented trade).
+- ``check_every`` batches k propagation rounds into one convergence-
+  check action (rounds build lazily; the monotone label sum stalls iff
+  every round in the block was a no-op, so batching cannot mis-detect
+  convergence). Measured at sf0.1 (simhash_radius_clusters, 4724
+  clusters): k=2 SLOWS the query 13 s -> 19-23 s — a no-op round still
+  shuffles the full label table, and detecting convergence needs the
+  sum to stall across a whole block, so k=2 pays ~2 extra full rounds.
+  The saved job submits (~0.2 s each) never repay that at this or any
+  larger scale. Default is therefore 1; k>1 is for latency-bound
+  many-tiny-graph callers only.
+- disabling AQE for the loop (fewer per-stage driver jobs: 69 -> 24 on
+  the same query) was measured at 38-78 s for the identical result —
+  AQE's runtime broadcast of the per-round label join and its
+  data-sized partition coalescing are worth far more than the submit
+  latency it costs. The loop therefore runs under whatever AQE config
+  the caller's session has; no session conf is touched.
 """
 
 from __future__ import annotations
@@ -55,7 +50,7 @@ def connected_components(
     edges: DataFrame,
     max_iterations: int = 50,
     on_nonconverged: str = "raise",
-    check_every: int = 2,
+    check_every: int = 1,
 ) -> DataFrame:
     """edges(src:long, dst:long) -> (doc_id:long, cluster_id:long).
 
@@ -71,25 +66,23 @@ def connected_components(
     ``on_nonconverged="warn"`` to log and return the partial labels.
 
     ``check_every`` batches that many propagation rounds into ONE Spark
-    action (the convergence check): driver jobs ~ rounds/check_every
-    instead of one per round, at the cost of up to check_every-1
-    no-op rounds of extra (cheap, already-converged) shuffle compute.
-    Correctness is unaffected — the monotone label sum stalls iff every
-    round in the block was a no-op, and min-propagation is idempotent
-    at the fixpoint.
+    action (the convergence check). Correctness is unaffected — the
+    monotone label sum stalls iff every round in the block was a no-op
+    — but each batched block costs up to check_every-1 extra full
+    propagation rounds before convergence is visible, and a no-op round
+    shuffles the whole label table. Default 1 (check every round): the
+    extra rounds measured strictly slower than the saved job submits at
+    every scale tried (module docstring). Raise it only for
+    latency-bound workloads on tiny graphs.
     """
     if on_nonconverged not in ("raise", "warn"):
         raise ValueError(f"unknown on_nonconverged {on_nonconverged!r}")
     if check_every < 1:
         raise ValueError(f"check_every must be >= 1, got {check_every}")
-    spark = edges.sparkSession
     sym = edges.select(
         F.col("src").alias("a"), F.col("dst").alias("b")
     ).union(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
-    # eager, under the CALLER's AQE: the materialized partition count is
-    # AQE's data-sized estimate and becomes the loop's shuffle width
     sym = sym.localCheckpoint(eager=True)
-    loop_parts = max(sym.rdd.getNumPartitions(), 1)
 
     # init: every node's label = its own id (lazy — the first label_sum
     # materializes it)
@@ -109,44 +102,33 @@ def connected_components(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
 
-    conf = spark.conf
-    old_aqe = conf.get("spark.sql.adaptive.enabled")
-    old_parts = conf.get("spark.sql.shuffle.partitions")
     converged = False
-    try:
-        # AQE off for the loop: otherwise every shuffle stage of every
-        # check is its own driver job (see module docstring)
-        conf.set("spark.sql.adaptive.enabled", "false")
-        conf.set("spark.sql.shuffle.partitions", str(loop_parts))
-        prev_sum = label_sum(labels)
+    prev_sum = label_sum(labels)
+    rounds_since_check = 0
+    for i in range(max_iterations):
+        # neighbor messages: label(a) offered to b
+        msgs = sym.join(labels, sym.a == labels.node).select(
+            F.col("b").alias("node"), "label"
+        )
+        # lazy checkpoint: unchecked rounds stay unmaterialized and
+        # run inside the next check's single action (lineage still
+        # truncates at each round's checkpoint when that action
+        # computes them)
+        labels = (
+            msgs.union(labels.select("node", "label"))
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+        rounds_since_check += 1
+        if rounds_since_check < check_every and i < max_iterations - 1:
+            continue
+        new_sum = label_sum(labels)
         rounds_since_check = 0
-        for i in range(max_iterations):
-            # neighbor messages: label(a) offered to b
-            msgs = sym.join(labels, sym.a == labels.node).select(
-                F.col("b").alias("node"), "label"
-            )
-            # lazy checkpoint: unchecked rounds stay unmaterialized and
-            # run inside the next check's single action (lineage still
-            # truncates at each round's checkpoint when that action
-            # computes them)
-            labels = (
-                msgs.union(labels.select("node", "label"))
-                .groupBy("node")
-                .agg(F.min("label").alias("label"))
-                .localCheckpoint(eager=False)
-            )
-            rounds_since_check += 1
-            if rounds_since_check < check_every and i < max_iterations - 1:
-                continue
-            new_sum = label_sum(labels)
-            rounds_since_check = 0
-            if new_sum == prev_sum:
-                converged = True
-                break
-            prev_sum = new_sum
-    finally:
-        conf.set("spark.sql.adaptive.enabled", old_aqe)
-        conf.set("spark.sql.shuffle.partitions", old_parts)
+        if new_sum == prev_sum:
+            converged = True
+            break
+        prev_sum = new_sum
 
     if not converged:
         msg = (
@@ -251,13 +233,8 @@ def connected_components_star(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        # eager, under the caller's AQE — the materialized partition
-        # count sizes the loop's shuffles (same rationale as
-        # connected_components)
         .localCheckpoint(eager=True)
     )
-    spark = edges.sparkSession
-    loop_parts = max(e.rdd.getNumPartitions(), 1)
 
     def checksum(df: DataFrame):
         row = df.agg(
@@ -266,53 +243,42 @@ def connected_components_star(
         ).collect()[0]
         return (row["n"], row["s"])
 
-    conf = spark.conf
-    old_aqe = conf.get("spark.sql.adaptive.enabled")
-    old_parts = conf.get("spark.sql.shuffle.partitions")
-    try:
-        # AQE off for the loop — per-stage driver jobs dominate an
-        # iterative algorithm's wall (see module docstring)
-        conf.set("spark.sql.adaptive.enabled", "false")
-        conf.set("spark.sql.shuffle.partitions", str(loop_parts))
-        prev = checksum(e)
-        converged = prev[0] == 0
-        for _ in range(max_iterations):
-            if converged:
-                break
-            # large-star: m = min(closed neighborhood of u); (v, m) for v > u
-            sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
-                e.select(F.col("b").alias("u"), F.col("a").alias("v"))
-            )
-            mins = sym.groupBy("u").agg(F.min("v").alias("_mv")).select(
-                "u", F.least("u", F.col("_mv")).alias("m")
-            )
-            ls = (
-                sym.join(mins, on="u")
-                .filter(F.col("v") > F.col("u"))
-                .select(F.col("m").alias("a"), F.col("v").alias("b"))
-                .distinct()
-            )
-            # small-star: orient edges v < u; m = min neighbor of u;
-            # re-attach every small neighbor AND u itself to m
-            oriented = ls.select(F.col("b").alias("u"), F.col("a").alias("v"))
-            smins = oriented.groupBy("u").agg(F.min("v").alias("m"))
-            ss = (
-                oriented.join(smins, on="u")
-                .select("v", "m")
-                .union(smins.select(F.col("u").alias("v"), "m"))
-                .filter(F.col("v") != F.col("m"))
-                .select(F.col("m").alias("a"), F.col("v").alias("b"))
-                .distinct()
-                .localCheckpoint(eager=False)
-            )
-            cur = checksum(ss)  # materializes the round (lineage truncated)
-            e = ss
-            if cur == prev:
-                converged = True
-            prev = cur
-    finally:
-        conf.set("spark.sql.adaptive.enabled", old_aqe)
-        conf.set("spark.sql.shuffle.partitions", old_parts)
+    prev = checksum(e)
+    converged = prev[0] == 0
+    for _ in range(max_iterations):
+        if converged:
+            break
+        # large-star: m = min(closed neighborhood of u); (v, m) for v > u
+        sym = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        mins = sym.groupBy("u").agg(F.min("v").alias("_mv")).select(
+            "u", F.least("u", F.col("_mv")).alias("m")
+        )
+        ls = (
+            sym.join(mins, on="u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+            .distinct()
+        )
+        # small-star: orient edges v < u; m = min neighbor of u;
+        # re-attach every small neighbor AND u itself to m
+        oriented = ls.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        smins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            oriented.join(smins, on="u")
+            .select("v", "m")
+            .union(smins.select(F.col("u").alias("v"), "m"))
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        cur = checksum(ss)  # materializes the round (lineage truncated)
+        e = ss
+        if cur == prev:
+            converged = True
+        prev = cur
 
     if not converged:
         msg = (
