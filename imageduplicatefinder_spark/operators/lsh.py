@@ -100,13 +100,41 @@ def capped_bands(bands: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataFra
         F.count("*").alias("band_size")
     )
     stats = sizes.withColumn("capped", F.col("band_size") > cfg.max_band_size)
-    # join only the HOT set (bands over the cap): in realistic corpora
-    # it is tiny (boilerplate), so AQE turns this into a broadcast join
-    # and the common case is a map-side null-check instead of a full
-    # sort-merge of the band table against all sizes
     hot = sizes.filter(F.col("band_size") > cfg.max_band_size)
-    salted = bands.join(hot, on=["band_id", "band_hash"], how="left")
-    kept = salted.filter(
+    return kept_bands_given_hot(bands, hot, cfg), stats
+
+
+def hot_band_stats(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Only the CAPPED subset of ``capped_bands``' stats — (band_id,
+    band_hash, band_size, capped=true). This is the durable
+    drop-accounting table AND the exact join input ``kept_bands_given_
+    hot`` needs, so a pipeline that checkpoints it first aggregates the
+    band table exactly once (measured: the stats-after-bands ordering
+    re-ran this groupBy for 7.5 s of an 88 s run, tools/
+    bench_stage_breakdown.py)."""
+    return (
+        bands.groupBy("band_id", "band_hash")
+        .agg(F.count("*").alias("band_size"))
+        .filter(F.col("band_size") > cfg.max_band_size)
+        .withColumn("capped", F.lit(True))
+    )
+
+
+def kept_bands_given_hot(
+    bands: DataFrame, hot: DataFrame, cfg: DedupConfig
+) -> DataFrame:
+    """Apply the hot-band salted cap given a PRECOMPUTED hot-band table
+    (``hot_band_stats`` output or the over-cap subset of
+    ``capped_bands``' stats). Joining only the HOT set keeps the common
+    case a map-side null-check — in realistic corpora the hot set is
+    tiny (boilerplate), so AQE turns this into a broadcast join instead
+    of a full sort-merge of the band table against all sizes."""
+    salted = bands.join(
+        hot.select("band_id", "band_hash", "band_size"),
+        on=["band_id", "band_hash"],
+        how="left",
+    )
+    return salted.filter(
         F.col("band_size").isNull()
         | (
             F.pmod(
@@ -116,7 +144,6 @@ def capped_bands(bands: DataFrame, cfg: DedupConfig) -> tuple[DataFrame, DataFra
             < F.lit(cfg.max_band_size)
         )
     ).select("doc_id", "band_id", "band_hash")
-    return kept, stats
 
 
 def pairs_from_capped_bands(kept: DataFrame) -> DataFrame:
