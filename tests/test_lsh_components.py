@@ -70,6 +70,36 @@ def test_band_cap_limits_group_and_reports(spark):
     assert candidate_pairs(bands, cfg).count() < 500
 
 
+def test_hot_band_stats_path_equals_capped_bands(spark):
+    """The pipeline's one-aggregation flow (hot_band_stats ->
+    kept_bands_given_hot) must produce exactly capped_bands' outputs:
+    same kept rows and the hot set == stats' capped subset. Mixed
+    corpus: one 40-member mega-band family plus small families."""
+    from imageduplicatefinder_spark.operators.lsh import (
+        hot_band_stats,
+        kept_bands_given_hot,
+    )
+
+    cfg = DedupConfig(max_band_size=3)
+    hot_sig = [7] * cfg.num_perm
+    cold_sig = [11] * cfg.num_perm
+    df = _sig_df(
+        spark,
+        [(i, 10, hot_sig) for i in range(40)]
+        + [(100 + i, 10, cold_sig) for i in range(2)],
+    )
+    bands = band_table(df, cfg).localCheckpoint(eager=True)
+    kept_ref, stats_ref = capped_bands(bands, cfg)
+    hot = hot_band_stats(bands, cfg)
+    kept_new = kept_bands_given_hot(bands, hot, cfg)
+    assert sorted(map(tuple, kept_new.collect())) == sorted(
+        map(tuple, kept_ref.collect())
+    )
+    assert sorted(map(tuple, hot.collect())) == sorted(
+        map(tuple, stats_ref.filter("capped").collect())
+    )
+
+
 def test_small_bands_not_sampled(spark):
     cfg = DedupConfig(max_band_size=3)
     sig = [9] * cfg.num_perm
