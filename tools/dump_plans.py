@@ -60,6 +60,28 @@ ANNOTATED = {
         "the 1-row corpus-count scalar attach, same pattern as "
         "unigram_logprob_quality)"
     ),
+    "tfidf_cosine_prefix_pairs": (
+        "weighted AllPairs prefix filter: per-doc tokens sorted by "
+        "ascending weight, the maximal suffix whose cumulative weighted "
+        "mass cannot reach cos 0.9 is pruned from the join keys "
+        "(localCheckpoint leaf); identical integer-exact verify and "
+        "oracle as the brute form; no cartesian"
+    ),
+    "tfidf_cosine_dense_pairs": (
+        "dense block-matrix tile join for compact vocabularies (any "
+        "token-keyed scheme degenerates when every token is hot): "
+        "docs -> fixed-width integer weight vectors -> block-pair "
+        "explode -> one applyInPandas integer-matmul tile per group; "
+        "same oracle as the brute form; no driver collect"
+    ),
+    "token_set_dup_pairs": (
+        "whitespace/order-invariant exact dup: sha256 over the sorted "
+        "distinct token set, one hash equi-self-join; no window"
+    ),
+    "embedding_similar_pairs": (
+        "cos >= 0.8 variant of the block-matrix kernel (non-vacuous at "
+        "driver scale); same tile join, no cartesian"
+    ),
     "pricing_summary": (
         "partial/final HashAggregate split; l_shipdate filter pushed to "
         "the parquet scan; pruned ReadSchema"
