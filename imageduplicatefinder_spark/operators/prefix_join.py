@@ -64,13 +64,21 @@ def shingle_index(signatures: DataFrame) -> DataFrame:
     return sh.join(df_tab, on="shingle")
 
 
-def _doc_prefixes(indexed: DataFrame, threshold: float) -> DataFrame:
-    """(doc_id, shingle) keeping each doc's rarest
-    ``n - ceil(threshold*n) + 1`` shingles in global (df, shingle)
-    order. threshold=0.0 keeps everything (the exact scheme)."""
-    per_doc = indexed.groupBy("doc_id").agg(
+def _doc_toks(indexed: DataFrame) -> DataFrame:
+    """(doc_id, toks) — each doc's shingles sorted by global (df,
+    shingle). Built ONCE per prefix-join: both threshold legs slice the
+    same sorted array, so the heavy groupBy + array_sort over the full
+    exploded index never runs twice (same one-pass rule as the LSH
+    band-stats fold, SCALE.md guard #6)."""
+    return indexed.groupBy("doc_id").agg(
         F.array_sort(F.collect_list(F.struct("df", "shingle"))).alias("toks")
     )
+
+
+def _slice_prefixes(per_doc: DataFrame, threshold: float) -> DataFrame:
+    """(doc_id, shingle) keeping each doc's rarest
+    ``n - ceil(threshold*n) + 1`` shingles from a ``_doc_toks`` table.
+    threshold=0.0 keeps everything (the exact scheme)."""
     p = _prefix_len(F.size("toks"), threshold)
     return per_doc.select(
         "doc_id",
@@ -78,6 +86,12 @@ def _doc_prefixes(indexed: DataFrame, threshold: float) -> DataFrame:
             F.transform(F.slice("toks", F.lit(1), p), lambda s: s["shingle"])
         ).alias("shingle"),
     )
+
+
+def _doc_prefixes(indexed: DataFrame, threshold: float) -> DataFrame:
+    """Single-threshold convenience form of ``_doc_toks`` +
+    ``_slice_prefixes`` (standalone callers/tests)."""
+    return _slice_prefixes(_doc_toks(indexed), threshold)
 
 
 def prefix_candidates(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
@@ -92,11 +106,13 @@ def prefix_candidates(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     # both legs and the sizes scan reuse the exploded index; a self-join
     # additionally scans its build twice
     indexed = indexed.localCheckpoint(eager=False)
-    sizes = indexed.groupBy("doc_id").agg(F.count("*").alias("n"))
-    sizes = sizes.localCheckpoint(eager=False)
+    # the sorted per-doc token array is built once and sliced per leg;
+    # sizes come from the same table (array length), not a second scan
+    toks = _doc_toks(indexed).localCheckpoint(eager=False)
+    sizes = toks.select("doc_id", F.size("toks").alias("n"))
 
     # --- Jaccard leg: prefix vs prefix, then PPJoin length filter ----
-    jp = _doc_prefixes(indexed, cfg.jaccard_threshold)
+    jp = _slice_prefixes(toks, cfg.jaccard_threshold)
     jp = jp.localCheckpoint(eager=False)
     jac = (
         jp.alias("a")
@@ -119,7 +135,7 @@ def prefix_candidates(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     )
 
     # --- containment leg: containment prefix vs FULL inverted index --
-    cp = _doc_prefixes(indexed, cfg.containment_threshold)
+    cp = _slice_prefixes(toks, cfg.containment_threshold)
     cont = (
         cp.alias("p")
         .join(indexed.select("doc_id", "shingle").alias("x"), on="shingle")
