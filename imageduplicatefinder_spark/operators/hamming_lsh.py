@@ -54,12 +54,25 @@ in functions/fingerprints.py, or an externally-computed pHash).
 
 from __future__ import annotations
 
+import logging
+import warnings
 from itertools import combinations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from imageduplicatefinder_spark.functions.fingerprints import hamming_distance_col
+
+_LOG = logging.getLogger(__name__)
+
+
+class HammingAutoCapWarning(UserWarning):
+    """Raised (as a warning) when ``max_key_group="auto"`` resolves to a
+    real per-key cap, i.e. the result became approximate: per-key
+    groups deeper than ``AUTO_MAX_KEY_GROUP`` were down-sampled and
+    true pairs whose ONLY agreeing block combination was a capped key
+    are dropped. Audit with ``hamming_key_stats``; pass
+    ``max_key_group=None`` for exact mode at any scale."""
 
 
 def _chunk_widths(bits: int, n_chunks: int) -> list[int]:
@@ -247,6 +260,20 @@ def _close_sketch_pairs(
         n_sk = src.count()
     if max_key_group == "auto":
         max_key_group = _auto_max_key_group(radius, n_sk)
+        if max_key_group is not None:
+            # the result just became approximate — make that loud on the
+            # driver (ADVICE r4: the silent exact->approximate flip past
+            # AUTO_CAP_MIN_SKETCHES had no runtime signal)
+            msg = (
+                f"hamming auto cap engaged: {n_sk} distinct sketches >= "
+                f"{AUTO_CAP_MIN_SKETCHES} at radius {radius} — per-key "
+                f"groups capped at {max_key_group}; pairs whose only "
+                "agreeing block combination was a capped key are dropped. "
+                "Pass max_key_group=None for exact mode; audit drops with "
+                "hamming_key_stats()."
+            )
+            warnings.warn(msg, HammingAutoCapWarning, stacklevel=4)
+            _LOG.warning(msg)
     keys = sketch_keys(src, radius, n_agree=n_agree, sketch_col="sketch",
                        n_sketches=n_sk)
     if max_key_group is not None:
@@ -291,19 +318,19 @@ def hamming_pairs(
     n_agree: int | None = None,
     max_key_group: int | str | None = "auto",
 ) -> DataFrame:
-    """ALL pairs of rows within ``radius`` Hamming distance of each
-    other on a 64-bit sketch column — exhaustive (pigeonhole
-    multi-block LSH, see module docstring) unless ``max_key_group``
-    caps hot keys; no cartesian product in the plan.
+    """Pairs of rows within ``radius`` Hamming distance on a 64-bit
+    sketch column (pigeonhole multi-block LSH, see module docstring).
+    EXACT below ``AUTO_CAP_MIN_SKETCHES`` (50k) distinct sketches or
+    radius < 6; APPROXIMATE beyond under the default
+    ``max_key_group="auto"`` — a per-key cap of ``AUTO_MAX_KEY_GROUP``
+    engages (with a ``HammingAutoCapWarning`` on the driver) and true
+    pairs whose only agreeing block combination was a capped key are
+    dropped. No cartesian product in the plan at any setting.
 
-    ``max_key_group`` defaults to ``"auto"``: exact below
-    ``AUTO_CAP_MIN_SKETCHES`` distinct sketches or radius <
-    ``_AUTO_CAP_MIN_RADIUS`` (no group-size pass is even planned), a
-    per-key cap of ``AUTO_MAX_KEY_GROUP`` beyond — bounding the
-    dispersed-corpus near-quadratic at wide radii without the caller
-    needing to know the failure mode. Pass ``None`` for exact mode at
-    any scale, an int for an explicit cap; audit what a cap truncated
-    with ``hamming_key_stats``.
+    The auto cap bounds the dispersed-corpus near-quadratic at wide
+    radii without the caller needing to know the failure mode. Pass
+    ``None`` for exact mode at any scale, an int for an explicit cap;
+    audit what a cap truncated with ``hamming_key_stats``.
 
     Output: (doc_a, doc_b, hamming) with doc_a < doc_b,
     hamming = bit_count(sketch_a XOR sketch_b) <= radius.
@@ -360,7 +387,11 @@ def hamming_edges(
 ) -> DataFrame:
     """Bounded edge set for a connected-components consumer: yields the
     SAME components as ``hamming_pairs`` (cluster parity is pytest-
-    pinned) without any same-key quadratic emission.
+    pinned) without any same-key quadratic emission. Like
+    ``hamming_pairs``, EXACT below ``AUTO_CAP_MIN_SKETCHES`` distinct
+    sketches or radius < 6, APPROXIMATE beyond under the default
+    ``max_key_group="auto"`` (driver ``HammingAutoCapWarning`` when the
+    cap engages; ``None`` for exact mode at any scale).
 
     Per distinct sketch, docs sharing it form a star rep->member
     (rep = min doc id); each close sketch pair contributes exactly ONE

@@ -160,8 +160,15 @@ def int_cosine_tile_pairs(
 
     Exactness envelope: dots are computed with float64 BLAS, which is
     EXACT while ``max_val^2 * dim < 2^53`` (integer grid); beyond that
-    the tile falls back to int64 matmul (exact to 2^63). The threshold
-    products can exceed int64, so a float64 screen (with relative
+    the tile falls back to an int64 matmul, exact while
+    ``max_val^2 * dim < 2^63`` (the dot bound — int64 accumulation
+    cannot wrap below it), and the integer matrix is kept un-cast so
+    the emitted ``dot``/``cos2_permille`` and the big-int re-verify use
+    the exact value (a float64 COPY feeds only the vectorized screen,
+    whose 1e-9 relative slack dominates the <=2^-52 cast rounding).
+    Past 2^63 the operator raises rather than wrap silently — rescale
+    the weights or use the weighted-prefix join. The threshold
+    products can exceed int64, so the float64 screen (with relative
     slack) selects near-qualifying pairs and each survivor is
     re-verified in arbitrary-precision Python ints — never more than
     the output size plus a sliver of boundary pairs.
@@ -211,24 +218,45 @@ def int_cosine_tile_pairs(
         if not len(a_sel) or not len(b_sel):
             return pd.DataFrame(columns=out_cols)
         A, B = mat[a_sel], mat[b_sel]
-        max_val = mat.max() if mat.size else 0.0
-        if max_val * max_val * dim < 2.0**53:
-            D = A @ B.T  # float64 BLAS, exact on this integer grid
+        max_val = int(mat.max()) if mat.size else 0
+        dot_bound = max_val * max_val * dim  # Python ints, no overflow
+        if dot_bound < 2**53:
+            # float64 BLAS is exact on this integer grid; D doubles as
+            # both the screen matrix and the exact dot source
+            D_exact = D_screen = A @ B.T
+            n2a = (A * A).sum(axis=1)
+            n2b = (B * B).sum(axis=1)
+        elif dot_bound < 2**63:
+            # int64 accumulation cannot wrap below the dot bound; keep
+            # the exact integer matrix (ADVICE r4: the old float64
+            # cast-back rounded dots past 2^53) and screen on a float
+            # copy — its <=2^-52 relative cast error is absorbed by the
+            # screen's 1e-9 slack before the big-int re-verify
+            Ai, Bi = A.astype(np.int64), B.astype(np.int64)
+            D_exact = Ai @ Bi.T
+            D_screen = D_exact.astype(np.float64)
+            n2a = (Ai * Ai).sum(axis=1)
+            n2b = (Bi * Bi).sum(axis=1)
         else:
-            D = (A.astype(np.int64) @ B.astype(np.int64).T).astype(
-                np.float64
+            raise ValueError(
+                f"int_cosine_tile_pairs: max weight {max_val} with dim "
+                f"{dim} puts the dot bound at {dot_bound} >= 2^63 — the "
+                "int64 tile matmul would wrap silently. Rescale the "
+                "integer weights or use the weighted-prefix join."
             )
-        n2a = (A * A).sum(axis=1)
-        n2b = (B * B).sum(axis=1)
         # float screen with relative slack, then big-int re-verify
-        screen = den * D * D >= (num * np.outer(n2a, n2b)) * (1.0 - 1e-9)
+        screen = (
+            den * D_screen * D_screen
+            >= (num * np.outer(n2a.astype(np.float64),
+                               n2b.astype(np.float64))) * (1.0 - 1e-9)
+        )
         if gi == gj:
             screen &= ids[:, None] < ids[None, :]
         Sh = ((A > 0).astype(np.float64) @ (B > 0).astype(np.float64).T)
         ai, bi = np.nonzero(screen)
         rows = []
         for i, j in zip(ai.tolist(), bi.tolist()):
-            dot, na2, nb2 = int(D[i, j]), int(n2a[i]), int(n2b[j])
+            dot, na2, nb2 = int(D_exact[i, j]), int(n2a[i]), int(n2b[j])
             if den * dot * dot >= num * na2 * nb2:
                 a, b = int(ids[a_sel[i]]), int(ids[b_sel[j]])
                 if a > b:

@@ -2077,8 +2077,12 @@ def q_tfidf_cosine_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.partitionBy("doc_id")
         )
     )
+    # the retention bound MUST use the same den constant as the verify
+    # rule (den*dot^2 >= num*|a|^2*|b|^2) or a future threshold change
+    # would silently desynchronize the completeness proof (ADVICE r4)
     prefix = tail.filter(
-        F.col("tail_sq") * F.lit(100) >= F.lit(_TFIDF_COS2_NUM) * F.col("n2")
+        F.col("tail_sq") * F.lit(_TFIDF_COS2_DEN)
+        >= F.lit(_TFIDF_COS2_NUM) * F.col("n2")
     ).select("doc_id", "tok").localCheckpoint(eager=False)
     cand = (
         w.select(F.col("doc_id").alias("probe"), "tok")

@@ -45,12 +45,27 @@ _IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)*$")
 _DATA_EXTS = frozenset({"jsonl", "json", "parquet", "csv", "gz", "zst"})
 
 
-def is_catalog_ref(ref: str) -> bool:
+def is_catalog_ref(ref: str, spark: SparkSession | None = None) -> bool:
     """True when ``ref`` names a catalog table (``db.tbl`` /
-    ``catalog.db.tbl``), False when it is a filesystem path."""
+    ``catalog.db.tbl``), False when it is a filesystem path.
+
+    Limitation: a bare dotted name whose last part is a data extension
+    (``corpus.jsonl``, ``db.csv``) is AMBIGUOUS — it is almost always a
+    file name, so the extension heuristic routes it to the path branch.
+    A genuine catalog table named after an extension is still reachable
+    when ``spark`` is provided: ambiguous refs are resolved with
+    ``spark.catalog.tableExists`` before being treated as paths
+    (``load_corpus``/``write_corpus`` pass their session through)."""
     if "/" in ref or not _IDENT_RE.match(ref):
         return False
-    return ref.rsplit(".", 1)[-1].lower() not in _DATA_EXTS
+    if ref.rsplit(".", 1)[-1].lower() not in _DATA_EXTS:
+        return True
+    if spark is not None:
+        try:
+            return spark.catalog.tableExists(ref)
+        except Exception:
+            return False
+    return False
 
 
 def load_corpus(
@@ -63,7 +78,7 @@ def load_corpus(
     """Read the corpus table from a catalog identifier (Iceberg/Delta/
     Hive/managed — whatever the session's catalogs resolve) or a
     parquet/JSONL path. Snapshot options only apply to catalog refs."""
-    if is_catalog_ref(ref):
+    if is_catalog_ref(ref, spark):
         if snapshot_id is not None or as_of_timestamp_ms is not None:
             reader = spark.read
             if snapshot_id is not None:
@@ -96,7 +111,7 @@ def write_corpus(
     or to a parquet path. ``mode`` is ``replace`` or ``append``."""
     if mode not in ("replace", "append"):
         raise ValueError(f"mode must be 'replace' or 'append', got {mode!r}")
-    if is_catalog_ref(ref):
+    if is_catalog_ref(ref, df.sparkSession):
         writer = df.writeTo(ref)
         if partition_by:
             from pyspark.sql import functions as F

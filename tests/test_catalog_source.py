@@ -32,6 +32,27 @@ def test_ref_classification():
     assert is_catalog_ref("lake.db.sigs")
 
 
+def test_extension_named_table_resolved_via_catalog(spark):
+    """A genuine catalog table whose NAME equals a data extension
+    (db.csv-style) is ambiguous under the extension heuristic; with a
+    session available the catalog decides (ADVICE r4) — so the table is
+    reachable through load_corpus while a nonexistent 'dump.csv' still
+    routes to the path branch."""
+    df = spark.createDataFrame([(1, "x")], "doc_id long, content string")
+    tbl = "csv"  # session-catalog table literally named 'csv'
+    try:
+        df.write.mode("overwrite").saveAsTable(tbl)
+        full = "default.csv"
+        assert is_catalog_ref(full, spark)
+        assert load_corpus(spark, full).count() == 1
+        # without a session the heuristic stays conservative (path)
+        assert not is_catalog_ref(full)
+        # a name that exists in no catalog still goes to the path branch
+        assert not is_catalog_ref("dump.csv", spark)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS csv")
+
+
 def test_catalog_roundtrip_replace_and_append(spark):
     """writeTo().createOrReplace() + append() against the session
     catalog, read back via spark.table — the exact code path that hits

@@ -179,10 +179,16 @@ def test_hamming_auto_cap_inert_below_threshold(spark, sketches):
     """The "auto" default must resolve to NO cap below
     AUTO_CAP_MIN_SKETCHES — byte-identical to explicit exact mode (the
     driver-scale hash-matches depend on this)."""
-    auto = {
-        tuple(r)
-        for r in hamming_pairs(sketches, radius=10).collect()
-    }
+    import warnings as _warnings
+    from imageduplicatefinder_spark.operators import hamming_lsh as H
+
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        auto_df = hamming_pairs(sketches, radius=10)
+    assert not [
+        w for w in caught if issubclass(w.category, H.HammingAutoCapWarning)
+    ], "no-cap resolution must stay silent"
+    auto = {tuple(r) for r in auto_df.collect()}
     exact = {
         tuple(r)
         for r in hamming_pairs(
@@ -207,9 +213,21 @@ def test_hamming_auto_cap_engages_at_scale(spark, sketches):
     H.AUTO_CAP_MIN_SKETCHES = 10
     H.AUTO_MAX_KEY_GROUP = 2
     try:
-        capped = {
-            tuple(r) for r in hamming_pairs(sketches, radius=10).collect()
-        }
+        import warnings as _warnings
+
+        with _warnings.catch_warnings(record=True) as caught:
+            _warnings.simplefilter("always")
+            capped_df = hamming_pairs(sketches, radius=10)
+        # the exact->approximate flip must be loud on the driver
+        # (ADVICE r4): exactly the HammingAutoCapWarning class, naming
+        # the cap and the escape hatch
+        cap_warns = [
+            w for w in caught
+            if issubclass(w.category, H.HammingAutoCapWarning)
+        ]
+        assert cap_warns, "auto cap engaged without a driver warning"
+        assert "max_key_group=None" in str(cap_warns[0].message)
+        capped = {tuple(r) for r in capped_df.collect()}
         exact = {
             tuple(r)
             for r in hamming_pairs(

@@ -244,3 +244,87 @@ def test_tfidf_cosine_no_cartesian(spark):
     # the token self-join itself must be hash-based
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
         or plan.count("BroadcastHashJoin") >= 1, plan
+
+
+def test_dump_plans_bnl_build_side_parser():
+    """The plan-gate helper must verify the BNL's ACTUAL build-side
+    subtree (ADVICE r4: a flat regex matched any later HashAggregate,
+    making the gate vacuous) — and reject a plan where the aggregate
+    sits in the probe side or outside the BNL entirely."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from tools.dump_plans import _bnl_build_sides_have_one_row_agg as ok
+
+    good = """AdaptiveSparkPlan (9)
++- Project (8)
+   +- BroadcastNestedLoopJoin BuildRight, Inner (7)
+      :- Project (3)
+      :  +- Filter (2)
+      :     +- Scan parquet (1)
+      +- BroadcastExchange (6)
+         +- HashAggregate (5)
+            +- Scan parquet (4)"""
+    assert ok(good)
+    # aggregate is in the PROBE side; build side is a raw scan
+    bad_probe = """AdaptiveSparkPlan (9)
++- Project (8)
+   +- BroadcastNestedLoopJoin BuildRight, Inner (7)
+      :- HashAggregate (3)
+      :  +- BroadcastExchange (2)
+      :     +- Scan parquet (1)
+      +- Project (6)
+         +- Scan parquet (4)"""
+    assert not ok(bad_probe)
+    # aggregate appears AFTER the BNL subtree (the old regex's blind
+    # spot): a sibling elsewhere in the plan must not satisfy the gate
+    bad_later = """AdaptiveSparkPlan (9)
++- Union (8)
+   :- BroadcastNestedLoopJoin BuildRight, Inner (4)
+   :  :- Scan parquet (1)
+   :  +- Project (3)
+   :     +- Scan parquet (2)
+   +- HashAggregate (7)
+      +- BroadcastExchange (6)
+         +- Scan parquet (5)"""
+    assert not ok(bad_later)
+    # BuildLeft: the FIRST child is the build side
+    good_left = """AdaptiveSparkPlan (9)
++- BroadcastNestedLoopJoin BuildLeft, Inner (8)
+   :- BroadcastExchange (3)
+   :  +- HashAggregate (2)
+   :     +- Scan parquet (1)
+   +- Project (7)
+      +- Scan parquet (6)"""
+    assert ok(good_left)
+
+
+def test_dump_plans_global_window_detector():
+    """The global-window detector keys on the Arguments bracket-group
+    count: 3 groups = partitioned, 2 = global (Spark omits the
+    partition list entirely for an unpartitioned spec)."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from tools.dump_plans import _global_window_nodes
+
+    partitioned = (
+        "(5) Window\n"
+        "Input [2]: [id#0L, g#1L]\n"
+        "Arguments: [row_number() windowspecdefinition(g#1L, id#0L ASC "
+        "NULLS FIRST, specifiedwindowframe(RowFrame, "
+        "unboundedpreceding$(), currentrow$())) AS rn#4], [g#1L], "
+        "[id#0L ASC NULLS FIRST]"
+    )
+    global_w = (
+        "(5) Window\n"
+        "Input [2]: [id#0L, g#1L]\n"
+        "Arguments: [row_number() windowspecdefinition(id#0L ASC NULLS "
+        "FIRST, specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+        "currentrow$())) AS rn#2], [id#0L ASC NULLS FIRST]"
+    )
+    assert _global_window_nodes(partitioned) == []
+    assert _global_window_nodes(global_w) == ["(5) Window"]
+    # both blocks in one plan: only the global one is flagged
+    both = partitioned + "\n\n" + global_w
+    assert _global_window_nodes(both) == ["(5) Window"]

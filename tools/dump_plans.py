@@ -20,6 +20,94 @@ sys.path.insert(0, ".")
 #: verified structurally below; everything else must be BNL-free
 ALLOW_BNL = frozenset({"tfidf_cosine_pairs", "unigram_logprob_quality"})
 
+
+#: queries whose physical plan may contain a GLOBAL (unpartitioned)
+#: Window — each must be a provably tiny frame (bounded rows reaching
+#: the single-partition sort), never a per-document window; justify
+#: every entry inline
+ALLOW_GLOBAL_WINDOW: dict[str, str] = {
+    "token_budget_shards": (
+        "phase 2 of the two-phase prefix sum: the ONE global window "
+        "runs over the per-group totals table (|corpus|/span rows — "
+        "4 at sf0.1), never over documents; the per-doc running sum "
+        "is partitioned by g (queries.py q_token_budget_shards)"
+    ),
+}
+
+
+def _bracket_groups(s: str) -> int:
+    """Count top-level [...] groups in a formatted-explain Arguments
+    line (nested brackets inside expressions don't start new groups)."""
+    depth = n = 0
+    for ch in s:
+        if ch == "[":
+            if depth == 0:
+                n += 1
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+    return n
+
+
+def _global_window_nodes(plan: str) -> list[str]:
+    """Header lines of Window nodes whose spec has NO partition list.
+
+    Spark renders a partitioned window's detail block as
+    ``Arguments: [exprs], [partitionSpec], [orderSpec]`` (3 top-level
+    bracket groups) and OMITS the partition list entirely for a global
+    window (2 groups) — which plans as Exchange SinglePartition + a
+    full sort on one task: the classic accidental-global-window
+    regression for keeper/top-k queries, fatal at scale."""
+    bad = []
+    for block in plan.split("\n\n"):
+        lines = block.strip().splitlines()
+        if not lines or not re.match(r"^\(\d+\) Window$", lines[0].strip()):
+            continue
+        args = next(
+            (l for l in lines if l.startswith("Arguments:")), ""
+        )
+        if _bracket_groups(args) < 3:
+            bad.append(lines[0].strip())
+    return bad
+
+
+def _tree_depth(line: str) -> int:
+    """Start position of a node in a formatted-explain tree line, i.e.
+    the length of its drawing prefix (spaces and ': + - |' connectors).
+    A WholeStageCodegen '*' marker counts as the node itself."""
+    return re.match(r"^[ :+|-]*", line).end()
+
+
+def _bnl_build_sides_have_one_row_agg(tree: str) -> bool:
+    """True iff EVERY BroadcastNestedLoopJoin node's build-side child
+    subtree contains a HashAggregate under a BroadcastExchange — the
+    1-row scalar-attach shape. Parses the tree indentation (ADVICE r4:
+    a flat `BNL .* HashAggregate` regex matched aggregates anywhere
+    later in the plan, making the assertion vacuous)."""
+    lines = tree.splitlines()
+    ok = True
+    for i, line in enumerate(lines):
+        if "BroadcastNestedLoopJoin" not in line:
+            continue
+        d = _tree_depth(line)
+        # collect the BNL's subtree, split into direct children (depth
+        # exactly d+3 in Spark's 3-space tree rendering)
+        children: list[list[str]] = []
+        for l2 in lines[i + 1:]:
+            if not l2.strip() or _tree_depth(l2) <= d:
+                break
+            if _tree_depth(l2) == d + 3:
+                children.append([l2])
+            elif children:
+                children[-1].append(l2)
+        if len(children) != 2:
+            return False
+        build_idx = 0 if "BuildLeft" in line else 1
+        build = "\n".join(children[build_idx])
+        ok = ok and ("BroadcastExchange" in build
+                     and "HashAggregate" in build)
+    return ok
+
 ANNOTATED = {
     "ngram_jaccard_pairs": (
         "exact shingle equi-join; hot-shingle DF cap is a broadcast "
@@ -198,12 +286,39 @@ def main() -> None:
         if name not in ALLOW_BNL:
             assert "BroadcastNestedLoopJoin" not in flat, name
         elif "BroadcastNestedLoopJoin" in flat:
-            assert re.search(
-                r"BroadcastNestedLoopJoin[^\n]*\n(.|\n)*?HashAggregate", flat
-            ), f"{name}: BNL build side is not a 1-row aggregate"
+            assert _bnl_build_sides_have_one_row_agg(tree), (
+                f"{name}: a BNL build-side subtree is not a broadcast "
+                "1-row aggregate"
+            )
+    # global-window gate over the FULL catalog (round-4 verdict item 8):
+    # no query may plan a windowed sort over an unpartitioned frame
+    # unless explicitly allowlisted with a bounded-rows justification
+    n_gated = 0
+    for name, fn in QUERIES.items():
+        df = fn(spark, sf_dir)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        globals_found = _global_window_nodes(buf.getvalue())
+        if name in ALLOW_GLOBAL_WINDOW:
+            # allowlisted = ONE justified tiny-frame window, not a pass
+            assert len(globals_found) <= 1, (
+                f"{name}: {len(globals_found)} global windows — the "
+                "allowlist justification covers exactly one"
+            )
+            continue
+        assert not globals_found, (
+            f"{name}: global (unpartitioned) Window in the physical plan "
+            f"({globals_found}) — a SinglePartition sort; partition the "
+            "window or allowlist with a bounded-rows justification"
+        )
+        n_gated += 1
     with open("PLANS.md", "w") as f:
         f.write("\n".join(out))
-    print(f"wrote PLANS.md ({len(ANNOTATED)} queries, no cartesian/BNL)")
+    print(
+        f"wrote PLANS.md ({len(ANNOTATED)} queries, no cartesian/BNL; "
+        f"global-window gate green over {n_gated} catalog queries)"
+    )
 
 
 if __name__ == "__main__":
