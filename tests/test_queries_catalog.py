@@ -831,6 +831,57 @@ def test_tfidf_three_forms_identical_and_cross_engine(spark, tmp_path):
     assert brute == o
 
 
+def test_tfidf_auto_dispatch_equal_and_picks_by_vocab(spark, tmp_path):
+    """The auto dispatcher (round-4 verdict item 1) is the documented
+    dispatch rule AS CODE: identical output to all three fixed plans,
+    dense branch below the vocab cutoff, prefix branch above it —
+    pinned by monkeypatching the cutoff on the same corpus so both
+    branches run on identical input and still agree."""
+    from imageduplicatefinder_spark import queries as Q
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india "
+        "juliet kilo lima mike november oscar papa quebec romeo"
+    )
+    forks = [
+        (1, base),
+        (2, base + " alpha"),
+        (3, "tango uniform victor whiskey xray yankee zulu "
+            "gamma theta sigma omega lambda epsilon"),
+        (4, "zulu yankee xray whiskey victor uniform tango "
+            "epsilon lambda omega sigma theta gamma"),
+        (5, "entirely disjoint vocabulary one two three four five six"),
+    ]
+    _write_docs(spark, tmp_path, forks)
+    brute = sorted(
+        tuple(r)
+        for r in QUERIES["tfidf_cosine_pairs"](spark, str(tmp_path)).collect()
+    )
+    # default cutoff (4096): this corpus' weighted vocab fits -> dense
+    auto_dense = sorted(
+        tuple(r)
+        for r in QUERIES["tfidf_cosine_pairs_auto"](
+            spark, str(tmp_path)
+        ).collect()
+    )
+    assert auto_dense == brute
+    # squeeze the cutoff below the vocab size -> prefix branch; the
+    # dense form would now REFUSE (vocab guard), so agreement proves
+    # the dispatcher actually switched plans
+    old = Q._TFIDF_DENSE_VOCAB_MAX
+    Q._TFIDF_DENSE_VOCAB_MAX = 4
+    try:
+        auto_prefix = sorted(
+            tuple(r)
+            for r in QUERIES["tfidf_cosine_pairs_auto"](
+                spark, str(tmp_path)
+            ).collect()
+        )
+    finally:
+        Q._TFIDF_DENSE_VOCAB_MAX = old
+    assert auto_prefix == brute
+
+
 def test_tfidf_dense_vocab_guard(spark, tmp_path):
     """The dense tile join densifies to |vocab| columns; past the
     guard it must REFUSE loudly and point at the prefix form rather

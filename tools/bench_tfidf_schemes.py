@@ -90,12 +90,23 @@ def main() -> None:
 
     result: dict = {"n_docs": n_docs, "vocab": vocab, "rep": rep,
                     "groups": groups}
+    # the AUTO dispatcher must pick PREFIX on this wide-vocab corpus
+    # and DENSE on the compact-vocab base corpus — the dispatch rule
+    # as code, demonstrated on both regimes (round-4 verdict item 1)
+    choice_wide, nv_wide = Q.tfidf_dispatch_choice(spark, out_dir)
+    choice_base, nv_base = Q.tfidf_dispatch_choice(spark, base_dir)
+    assert choice_wide == "prefix", (choice_wide, nv_wide)
+    assert choice_base == "dense", (choice_base, nv_base)
+    result["auto_choice_wide"] = f"{choice_wide} (weighted vocab {nv_wide})"
+    result["auto_choice_base"] = f"{choice_base} (weighted vocab {nv_base})"
     counts: dict[str, int] = {}
-    for scheme in ("tfidf_cosine_prefix_pairs", "tfidf_cosine_pairs"):
+    for scheme in ("tfidf_cosine_prefix_pairs", "tfidf_cosine_pairs",
+                   "tfidf_cosine_pairs_auto"):
         t0 = time.time()
         counts[scheme] = Q.QUERIES[scheme](spark, out_dir).count()
         result[scheme + "_wall_s"] = round(time.time() - t0, 2)
     assert counts["tfidf_cosine_pairs"] == counts["tfidf_cosine_prefix_pairs"], counts
+    assert counts["tfidf_cosine_pairs_auto"] == counts["tfidf_cosine_pairs"], counts
     result["pairs"] = counts["tfidf_cosine_pairs"]
     try:
         Q.QUERIES["tfidf_cosine_dense_pairs"](spark, out_dir).count()
