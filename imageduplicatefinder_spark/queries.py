@@ -4676,6 +4676,120 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries_df, k=5, nlist=8, nprobe=3)
 
 
+#: streaming replay: every doc whose id is divisible by this re-arrives
+#: once more, later (a deterministic "re-crawl" so the duplicate-pressure
+#: state is non-vacuous on a corpus with no byte-identical texts)
+_STREAM_REPLAY_MOD = 7
+#: arrival-order offset for the replayed copies (past every base doc_id)
+_STREAM_REPLAY_OFFSET = 1_000_000
+_streaming_sink_seq = 0
+
+
+def q_streaming_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming tier's oracle-shaped check (round-4 verdict item
+    2): drain the documents table through a REAL Structured Streaming
+    plan — file-stream source → row-wise arrival synthesis →
+    ``stateful_dup_tracker`` (``applyInPandasWithState``, one state row
+    per content sha256) → ``trigger(availableNow)`` → memory sink —
+    and return the final per-content state: first-seen arrival and
+    total duplicate count.
+
+    Arrival synthesis is deterministic and streaming-safe (pure
+    row-wise explode, no batch-side join): every document arrives once
+    at ts = epoch + doc_id, and docs with doc_id %% _STREAM_REPLAY_MOD
+    == 0 re-arrive at doc_id + _STREAM_REPLAY_OFFSET — a re-crawl, so
+    dup_count > 0 rows exist even though the driver corpus has no
+    byte-identical texts. The drained state is batch-replayable SQL
+    (GROUP BY sha256 over the same UNION ALL of arrivals), which is
+    the oracle.
+
+    Robustness to micro-batching: the update-mode memory sink keeps
+    one row per (key, update); ``dup_count`` strictly increases per
+    update and ``first_path`` only ever moves earlier, so the final
+    state per key is ``max(dup_count)`` + ``min(first_path)`` — plain
+    aggregates, independent of how the source split into batches.
+
+    100 TB design: the state store holds one small row per distinct
+    content sha256 inside the horizon; the memory sink is the test
+    harness stand-in for the real metrics sink (parquet/Kafka). Ref:
+    the reference is strictly batch (SURVEY §2.7); this is the
+    engine's continuous-ingest surface, batch-anchored by this oracle.
+    """
+    from imageduplicatefinder_spark.streaming.dedup_stream import (
+        stateful_dup_tracker,
+    )
+
+    global _streaming_sink_seq
+    _streaming_sink_seq += 1
+    sink = f"streaming_dup_stats_sink_{_streaming_sink_seq}"
+
+    docs = load_table(spark, sf_dir, "documents")
+    # the file-stream source wants a directory base: point it at the
+    # table directory when documents.parquet IS one (the production
+    # layout), else at the parent with a leaf-file glob (the driver
+    # testdata ships single-file tables)
+    import os
+
+    table_path = os.path.join(sf_dir, "documents.parquet")
+    reader = spark.readStream.schema(docs.schema)
+    if os.path.isdir(table_path):
+        stream = reader.parquet(table_path)
+    else:
+        stream = reader.option(
+            "pathGlobFilter", "documents.parquet"
+        ).parquet(sf_dir)
+    replays = F.when(
+        F.col("doc_id") % _STREAM_REPLAY_MOD == 0,
+        F.array(F.lit(0), F.lit(_STREAM_REPLAY_OFFSET)),
+    ).otherwise(F.array(F.lit(0)))
+    arrivals = stream.select(
+        F.col("text").alias("content"),
+        "doc_id",
+        F.explode(replays).alias("offset"),
+    ).select(
+        "content",
+        (F.col("doc_id") + F.col("offset")).alias("arr"),
+    ).select(
+        "content",
+        F.lpad(F.col("arr").cast("string"), 10, "0").alias("path"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("arr")).alias("ts"),
+    )
+    q = (
+        stateful_dup_tracker(arrivals)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(540):
+        q.stop()
+        raise TimeoutError("streaming_dup_stats did not drain in 540s")
+    return (
+        spark.table(sink)
+        .groupBy("sha256")
+        .agg(
+            F.min("first_path").alias("first_arrival"),
+            F.max("dup_count").alias("dup_count"),
+        )
+    )
+
+
+SQL_STREAMING_DUP_STATS = f"""
+WITH arrivals AS (
+    SELECT text, doc_id AS arr FROM documents
+    UNION ALL
+    SELECT text, doc_id + {_STREAM_REPLAY_OFFSET} AS arr FROM documents
+    WHERE doc_id % {_STREAM_REPLAY_MOD} = 0
+)
+SELECT sha256(text) AS sha256,
+       lpad(CAST(min(arr) AS VARCHAR), 10, '0') AS first_arrival,
+       count(*) - 1 AS dup_count
+FROM arrivals
+GROUP BY sha256(text)
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -4751,6 +4865,9 @@ QUERIES: dict[str, QueryFn] = {
     # temporal joins
     "asof_click_purchase": q_asof_click_purchase,
     "range_purchase_followups": q_range_purchase_followups,
+    # streaming tier: the drained applyInPandasWithState dup-pressure
+    # state, batch-anchored by a GROUP-BY-sha256 oracle (verdict item 2)
+    "streaming_dup_stats": q_streaming_dup_stats,
     # --- driver window boundary (50) -----------------------------------
     # past the window: still oracled + checked by tools/check_oracles.py,
     # each redundant with an in-window sibling (containment_confirmed_sa
@@ -4831,6 +4948,7 @@ ORACLES: dict[str, str] = {
     "tfidf_cosine_prefix_pairs": SQL_TFIDF_COSINE_PAIRS,
     "tfidf_cosine_dense_pairs": SQL_TFIDF_COSINE_PAIRS,
     "tfidf_cosine_pairs_auto": SQL_TFIDF_COSINE_PAIRS,
+    "streaming_dup_stats": SQL_STREAMING_DUP_STATS,
     "simhash_hamming_pairs": SQL_SIMHASH_HAMMING_PAIRS,
     "gradsign_hamming_pairs_portable": SQL_GRADSIGN_HAMMING_PAIRS_PORTABLE,
     "simhash_radius_clusters": SQL_SIMHASH_RADIUS_CLUSTERS,

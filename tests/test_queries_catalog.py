@@ -882,6 +882,43 @@ def test_tfidf_auto_dispatch_equal_and_picks_by_vocab(spark, tmp_path):
     assert auto_prefix == brute
 
 
+def test_streaming_dup_stats_matches_batch_oracle(spark, tmp_path):
+    """The streaming tier's oracle-shaped window entry (round-4
+    verdict item 2): draining the documents table through the real
+    applyInPandasWithState plan yields exactly the batch GROUP BY
+    sha256 over the synthesized arrivals — cross-engine equal vs
+    DuckDB, non-vacuous (the %7 re-crawl rows carry dup_count >= 1),
+    and robust to the directory table layout."""
+    from imageduplicatefinder_spark.queries import ORACLES, QUERIES
+
+    forks = [
+        (0, "alpha beta gamma"),       # %7 == 0 -> re-arrives
+        (3, "delta epsilon zeta"),
+        (7, "eta theta iota"),          # %7 == 0 -> re-arrives
+        (9, "alpha beta gamma"),        # byte-identical to doc 0
+        (12, "kappa lambda mu"),
+    ]
+    _write_docs(spark, tmp_path, forks)
+    got = sorted(
+        tuple(r)
+        for r in QUERIES["streaming_dup_stats"](spark, str(tmp_path)).collect()
+    )
+    con = _duck_docs(tmp_path)
+    want = sorted(
+        tuple(r)
+        for r in con.sql(ORACLES["streaming_dup_stats"]).fetchall()
+    )
+    assert got == want
+    by_first = {r[1]: r for r in got}
+    # doc 0's content: arrivals at 0 (first), 9, 1000000 -> 2 dups
+    assert by_first["0000000000"][2] == 2
+    # doc 7: arrivals at 7 and 1000007 -> 1 dup
+    assert by_first["0000000007"][2] == 1
+    # doc 3: single arrival -> 0 dups
+    assert by_first["0000000003"][2] == 0
+    assert len(got) == 4  # 4 distinct contents
+
+
 def test_tfidf_dense_vocab_guard(spark, tmp_path):
     """The dense tile join densifies to |vocab| columns; past the
     guard it must REFUSE loudly and point at the prefix form rather
