@@ -4,17 +4,18 @@
 sf0.001; ``queries()``/``oracle_sql()`` expose the full catalog from
 ``imageduplicatefinder_spark.queries`` (one entry per implemented
 operator family from SURVEY.md §2 plus the training-pipeline ops).
-The six queries without an oracle entry are genuinely
+The four queries without an oracle entry are genuinely
 non-SQL-expressible — they depend on the engine's internal vectorized
 token hash (MinHash banding, the flagship LSH pipeline, the
-gradient-sign sketch), the stubbed media decode (pHash pairs), or
-runtime-trained k-means centroids that cannot appear in a static SQL
-string (IVF top-k, the SemDeDup keeper) — and get the driver's
-rows-only check. Every other registered
+gradient-sign sketch) or the stubbed media decode (pHash pairs) — and
+get the driver's rows-only check. Every other registered
 query is value-hash checked against DuckDB, including the
 SimHash Hamming pairs (portable md5-nibble simhash), connected
-components (recursive-CTE fixpoint), and the hyperplane-bucketed ANN
-(plane constants inlined as SQL literals).
+components (recursive-CTE fixpoint), the hyperplane-bucketed ANN
+(plane constants inlined as SQL literals), and — since round 5 — the
+IVF top-k and SemDeDup keeper (pinned coarse-quantizer centroids
+inlined the same way; the runtime-trained quantizer path stays
+pytest-pinned in operators/similarity.py).
 """
 
 from __future__ import annotations

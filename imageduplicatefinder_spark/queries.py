@@ -4645,35 +4645,287 @@ def q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_pairs(sketches, radius=2, id_col="id", sketch_col="phash")
 
 
+def _ivf_centroids() -> list[list[float]]:
+    """The 8 pinned coarse-quantizer centroids (seeded, deterministic,
+    dim 64) shared by the Spark IVF/SemDeDup queries and their DuckDB
+    oracles. In production IVF the quantizer is a model artifact
+    trained offline and shipped with the index; pinning it makes the
+    centroids CONSTANTS of the operator — exactly like
+    ``_ann_planes`` — so the whole cell-partitioned pipeline is
+    SQL-expressible by inlining them as literals. The runtime-training
+    path (``train_centroids``: cluster-deterministic sample + Lloyd
+    step) stays in ``operators/similarity.py``, pytest-pinned against
+    brute force."""
+    import numpy as np
+
+    return np.random.default_rng(11).standard_normal((8, 64)).tolist()
+
+
+def _ivf_score_exprs(vec_col: str) -> list[Column]:
+    """Per-centroid squared-distance scores -2*x.c + ||c||^2 (the
+    ||x||^2 term is constant per row and drops out of the argmin).
+    The dot is the sequential ``_dot`` fold — the same evaluation
+    order as the oracle's list_sum — and ||c||^2 is a plain sequential
+    Python sum inlined as the SAME literal in both engines, so the
+    scores are bit-identical across Spark and DuckDB."""
+    exprs = []
+    for c in _ivf_centroids():
+        csq = 0.0
+        for v in c:
+            csq += v * v
+        exprs.append(
+            F.lit(-2.0) * _dot(F.col(vec_col), F.array(*[F.lit(v) for v in c]))
+            + F.lit(csq)
+        )
+    return exprs
+
+
+def _ivf_scores_sql(vec: str = "embedding") -> str:
+    """DuckDB list literal of the identical per-centroid scores."""
+    parts = []
+    for c in _ivf_centroids():
+        csq = 0.0
+        for v in c:
+            csq += v * v
+        lits = ", ".join(repr(v) for v in c)
+        parts.append(
+            f"(-2.0 * list_sum(list_transform(generate_series(1, 64), "
+            f"i -> {vec}[i]::DOUBLE * ([{lits}])[i])) + {csq!r})"
+        )
+    return "[" + ",\n   ".join(parts) + "]"
+
+
+def _ivf_assigned(emb: DataFrame) -> DataFrame:
+    """(vec_id, embedding, list_id): nearest-pinned-centroid cell, as a
+    pure projection — no shuffle, no UDF, whole-stage codegen. Argmin
+    with lowest-index tie-break via array_position(array_min), matching
+    DuckDB's list_position(list_min) first-occurrence semantics."""
+    arr = F.array(*_ivf_score_exprs("embedding"))
+    return emb.select(
+        "vec_id",
+        "embedding",
+        (F.array_position(arr, F.array_min(arr)) - 1)
+        .cast("int")
+        .alias("list_id"),
+    )
+
+
 def q_semdedup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup semantic dedup (Abbas et al. 2023): k-means cells via
-    the IVF coarse quantizer, exact within-cell cosine groups at 0.95,
-    min-id keeper per group. Rows-only justification: the centroids are
-    runtime-trained (cluster-deterministic sample + one Lloyd step in
-    numpy) and cannot appear in a static SQL string; the within-cell
-    pair math itself is pytest-pinned against an in-process brute force
-    (tests/test_similarity.py)."""
-    from imageduplicatefinder_spark.operators.similarity import (
-        semantic_dedup_keeper,
+    """SemDeDup semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    partition the embedding space into k-means cells with the PINNED
+    coarse quantizer (``_ivf_centroids``), compute exact cosine pairs
+    only WITHIN a cell (never across — the paper's sub-quadratic
+    contract), close dup groups under connected components, and keep
+    the min-id member of each group. Output one row per input vector:
+    (vec_id, list_id, action KEEP|DELETE, keeper_id); singletons and
+    sub-threshold vectors KEEP themselves.
+
+    Oracled since round 5 (was rows-only): the quantizer constants are
+    inlined in the SQL the way ``ann_lsh_bucketed`` inlines its
+    hyperplanes, assignment/cosine use the same sequential fold in both
+    engines (bit-identical threshold decisions), and the group closure
+    is the recursive-CTE CC fixpoint. The runtime-trained variant
+    (``semantic_dedup_keeper``: sampled Lloyd centroids + BLAS tile
+    join) is the 100 TB path, pytest-pinned against within-cell brute
+    force (tests/test_similarity.py).
+
+    The synthetic embeddings are near-orthogonal (max pairwise cosine
+    ~0.51), so the demo threshold (0.45) sits at the tail of THEIR
+    distribution; planted-dup behavior at a realistic 0.95 is pinned
+    by the operator pytest."""
+    from imageduplicatefinder_spark.operators.components import (
+        connected_components,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # the synthetic testdata embeddings are near-orthogonal (max
-    # pairwise cosine ~0.51), so the demo threshold sits at the tail of
-    # THEIR distribution; planted-dup-group behavior at a realistic
-    # 0.95 is pinned by the brute-force parity pytest
-    return semantic_dedup_keeper(emb, threshold_milli=450, nlist=8, seed=42)
+    assigned = _ivf_assigned(emb)
+    a = assigned.select(
+        "list_id", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    )
+    b = assigned.select(
+        "list_id", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(_dot(F.col("ea"), F.col("ea")))
+        * F.sqrt(_dot(F.col("eb"), F.col("eb")))
+    )
+    edges = (
+        a.join(b, on="list_id")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= 0.45)
+        .select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+    )
+    comp = connected_components(edges)
+    return (
+        assigned.select("vec_id", "list_id")
+        .join(
+            comp.withColumnsRenamed(
+                {"doc_id": "vec_id", "cluster_id": "keeper_id"}
+            ),
+            on="vec_id",
+            how="left",
+        )
+        .select(
+            "vec_id",
+            "list_id",
+            F.when(
+                F.col("keeper_id").isNull()
+                | (F.col("keeper_id") == F.col("vec_id")),
+                F.lit("KEEP"),
+            )
+            .otherwise(F.lit("DELETE"))
+            .alias("action"),
+            F.coalesce("keeper_id", F.col("vec_id")).alias("keeper_id"),
+        )
+    )
+
+
+def _semdedup_keeper_sql() -> str:
+    return f"""
+WITH RECURSIVE s AS (
+  SELECT vec_id, embedding, {_ivf_scores_sql()} AS sc FROM embeddings
+),
+assigned AS (
+  SELECT vec_id, embedding,
+         CAST(list_position(sc, list_min(sc)) - 1 AS INTEGER) AS list_id
+  FROM s
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM assigned a JOIN assigned b
+    ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+  WHERE list_sum(list_transform(generate_series(1, len(a.embedding)),
+          i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+      / (sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE * x::DOUBLE)))
+       * sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE * x::DOUBLE))))
+      >= 0.45
+),
+sym AS (SELECT vec_a AS a, vec_b AS b FROM pairs
+        UNION ALL SELECT vec_b, vec_a FROM pairs),
+reach(node, r) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym) t
+  UNION
+  SELECT reach.node, sym.b FROM reach JOIN sym ON reach.r = sym.a
+),
+labels AS (SELECT node AS vec_id, min(r) AS keeper_id FROM reach GROUP BY node)
+SELECT a.vec_id, a.list_id,
+       CASE WHEN l.keeper_id IS NULL OR l.keeper_id = a.vec_id
+            THEN 'KEEP' ELSE 'DELETE' END AS action,
+       COALESCE(l.keeper_id, a.vec_id) AS keeper_id
+FROM assigned a LEFT JOIN labels l ON a.vec_id = l.vec_id
+"""
+
+
+SQL_SEMDEDUP_KEEPER = _semdedup_keeper_sql()
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k (coarse quantizer + nprobe inverted lists) —
-    the third similarity-search tier alongside brute force (oracle) and
-    hyperplane-LSH buckets."""
-    from imageduplicatefinder_spark.operators.similarity import ivf_topk
+    """IVF approximate top-k (coarse quantizer + nprobe inverted
+    lists) — the third similarity-search tier alongside brute force
+    (``ann_cosine_topk``) and hyperplane-LSH buckets
+    (``ann_lsh_bucketed``). Queries (vec_id < 10) probe their nprobe=3
+    nearest cells and rank candidates by exact cosine within them
+    (k=5).
 
+    Oracled since round 5 (was rows-only): the pinned quantizer
+    (``_ivf_centroids``) is inlined in the SQL as literals; cell
+    assignment is a shuffle-free codegen projection
+    (``_ivf_assigned``); probes/ranking use row_number with explicit
+    (score, list_id) / (cos DESC, neighbor_id) tie-breaks so both
+    engines rank identical doubles identically. The runtime-trained
+    mapInPandas variant (``ivf_topk``) is pytest-pinned against brute
+    force (tests/test_similarity.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    queries_df = emb.filter(F.col("vec_id") < 10)
-    return ivf_topk(emb, queries_df, k=5, nlist=8, nprobe=3)
+    assigned = _ivf_assigned(emb)
+    qs = F.array(*_ivf_score_exprs("qe"))
+    probes = (
+        emb.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+        .select("query_id", "qe", F.posexplode(qs).alias("list_id", "d"))
+        .withColumn(
+            "pr",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.asc("d"), F.asc("list_id")
+                )
+            ),
+        )
+        .filter(F.col("pr") <= 3)
+        .select("query_id", "qe", "list_id")
+    )
+    cand = probes.join(
+        assigned.select(
+            "list_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("ne"),
+        ),
+        on="list_id",
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    cos = _dot(F.col("qe"), F.col("ne")) / (
+        F.sqrt(_dot(F.col("qe"), F.col("qe")))
+        * F.sqrt(_dot(F.col("ne"), F.col("ne")))
+    )
+    ranked = cand.withColumn("cos", cos).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.desc("cos"), F.asc("neighbor_id")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rank") <= 5).select(
+        "query_id",
+        "rank",
+        "neighbor_id",
+        F.floor(F.col("cos") * 1000).cast("long").alias("cosine_milli"),
+    )
+
+
+def _ann_ivf_topk_sql() -> str:
+    return f"""
+WITH s AS (
+  SELECT vec_id, embedding, {_ivf_scores_sql()} AS sc FROM embeddings
+),
+assigned AS (
+  SELECT vec_id, embedding,
+         CAST(list_position(sc, list_min(sc)) - 1 AS INTEGER) AS list_id
+  FROM s
+),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS qe,
+         CAST(g.i - 1 AS INTEGER) AS list_id,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sc[g.i], g.i) AS pr
+  FROM s CROSS JOIN generate_series(1, 8) AS g(i)
+  WHERE vec_id < 10
+),
+cand AS (
+  SELECT p.query_id, p.qe, a.vec_id AS neighbor_id, a.embedding AS ne
+  FROM probes p JOIN assigned a USING (list_id)
+  WHERE p.pr <= 3 AND p.query_id <> a.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_sum(list_transform(generate_series(1, len(qe)),
+            i -> qe[i]::DOUBLE * ne[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(qe, x -> x::DOUBLE * x::DOUBLE)))
+          * sqrt(list_sum(list_transform(ne, x -> x::DOUBLE * x::DOUBLE))))
+           AS cos
+  FROM cand
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id,
+       CAST(floor(cos * 1000) AS BIGINT) AS cosine_milli
+FROM ranked WHERE rank <= 5
+"""
+
+
+SQL_ANN_IVF_TOPK = _ann_ivf_topk_sql()
 
 
 #: streaming replay: every doc whose id is divisible by this re-arrives
@@ -4903,13 +5155,15 @@ QUERIES: dict[str, QueryFn] = {
     "top_events_per_user": q_top_events_per_user,
     "order_priority_pivot": q_order_priority_pivot,
     "event_user_reach": q_event_user_reach,
+    # oracled since round 5: pinned coarse quantizer inlined as SQL
+    # literals (the ann_lsh_bucketed hyperplane pattern)
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "semdedup_keeper": q_semdedup_keeper,
     # Spark-only (rows-only driver check)
     "minhash_lsh_candidates": q_minhash_lsh_candidates,
     "near_dup_clusters": q_near_dup_clusters,
     "gradsign_hamming_pairs": q_gradsign_hamming_pairs,
     "media_phash_pairs": q_media_phash_pairs,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "semdedup_keeper": q_semdedup_keeper,
 }
 
 ORACLES: dict[str, str] = {
@@ -4994,4 +5248,6 @@ ORACLES: dict[str, str] = {
     "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
     "asof_click_purchase": SQL_ASOF_CLICK_PURCHASE,
     "range_purchase_followups": SQL_RANGE_PURCHASE_FOLLOWUPS,
+    "ann_ivf_topk": SQL_ANN_IVF_TOPK,
+    "semdedup_keeper": SQL_SEMDEDUP_KEEPER,
 }

