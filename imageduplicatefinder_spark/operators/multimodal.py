@@ -28,6 +28,15 @@ portable spec either) — the goldens and family tests pin THIS kernel.
 ``encode_bmp`` is the matching writer, used by fixtures and the
 media-rendering queries.
 
+``decode="png"`` (round 5) extends the always-available tier to a
+COMPRESSED codec using only the stdlib: a zlib+struct+numpy reader for
+8-bit non-interlaced PNGs (gray/RGB/palette/alpha color types, all
+five scanline filters) — png is likewise on the reference's extension
+list (ref: app/Commands.java:74). ``decode="auto"`` sniffs magic bytes
+per row and dispatches BMP/PNG, mirroring the reference's
+per-extension fan-in to one decode call. ``encode_png`` is the
+matching writer.
+
 Schema conventions:
     media table:    id:long, kind:string, meta:struct<...>, data:binary
     features out:   id:long, kind:string, width:int, height:int,
@@ -190,6 +199,160 @@ def decode_bmp(data: bytes) -> tuple[int, int, np.ndarray]:
     return w, h, gray
 
 
+#: PNG file signature (public spec: PNG (Second Edition), ISO/IEC 15948)
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Write an (h, w, 3) uint8 RGB array — or (h, w) grayscale — as an
+    8-bit non-interlaced PNG using only stdlib zlib+struct (filter 0 on
+    every scanline). The writer half of the codec-free PNG path;
+    round-trip pinned against ``decode_png`` in tests."""
+    import struct
+    import zlib
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        ctype, raw = 0, px[:, :, None]
+    elif px.ndim == 3 and px.shape[2] == 3:
+        ctype, raw = 2, px
+    else:
+        raise ValueError(f"encode_png wants (h, w[, 3]) uint8, got {px.shape}")
+    h, w = px.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError(f"encode_png wants non-empty pixels, got {px.shape}")
+    body = b"".join(b"\x00" + raw[y].tobytes() for y in range(h))
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(body))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Pure stdlib zlib+struct+numpy PNG reader (no codec library):
+    8-bit non-interlaced images, color types 0 (gray), 2 (RGB),
+    3 (palette), 4 (gray+alpha) and 6 (RGBA); all five scanline filters
+    (None/Sub/Up/Average/Paeth). Alpha is ignored (no compositing —
+    luminance of the raw channel values, same convention as the BMP
+    reader's 32-bpp path).
+
+    Returns (width, height, gray) with ``gray`` an (h, w) float64
+    BT.601 luminance plane. Raises ValueError on anything that is not a
+    well-formed supported PNG — per-row error isolation is the caller's
+    job (``_png_decode`` degrades to the (0, 0, zeros) row,
+    ref: app/Commands.java:76-84; png is on the reference's extension
+    list, app/Commands.java:74, decoded there via ImageIO,
+    core/ImageLoader.java:7-12)."""
+    import struct
+    import zlib
+
+    if data is None or len(data) < 8 or bytes(data[:8]) != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    data = bytes(data)
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        pos += 8
+        if pos + ln + 4 > len(data):
+            raise ValueError("truncated PNG chunk")
+        payload = data[pos : pos + ln]
+        pos += ln + 4  # payload + CRC (not verified: data errors surface
+        # as zlib/shape failures below, which is the same per-row skip)
+        if tag == b"IHDR":
+            ihdr = payload
+        elif tag == b"PLTE":
+            plte = payload
+        elif tag == b"IDAT":
+            idat.append(payload)
+        elif tag == b"IEND":
+            break
+    if ihdr is None or len(ihdr) != 13:
+        raise ValueError("missing IHDR")
+    w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8:
+        raise ValueError(f"unsupported bit depth {depth}")
+    if comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError("unsupported compression/filter/interlace method")
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if nch is None:
+        raise ValueError(f"unsupported color type {ctype}")
+    if w <= 0 or h <= 0 or w > (1 << 24) or h > (1 << 24):
+        raise ValueError(f"bad dimensions {w}x{h}")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG pixel stream: {exc}") from exc
+    stride = w * nch
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("bad PNG pixel payload length")
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    ftypes = arr[:, 0]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f = int(ftypes[y])
+        cur = arr[y, 1:].astype(np.int64)
+        if f == 0:
+            rec = cur
+        elif f == 2:  # Up
+            rec = (cur + prev) & 0xFF
+        elif f in (1, 3, 4):  # Sub / Average / Paeth: left-dependent
+            rec = np.empty(stride, dtype=np.int64)
+            for x in range(stride):
+                a = rec[x - nch] if x >= nch else 0
+                b = prev[x]
+                c = prev[x - nch] if x >= nch else 0
+                if f == 1:
+                    pred = a
+                elif f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (
+                        a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    )
+                rec[x] = (cur[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[y] = rec
+        prev = rec
+    px = out.reshape(h, w, nch)
+    if ctype == 3:
+        if plte is None or len(plte) % 3:
+            raise ValueError("palette PNG without a valid PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("palette index out of range")
+        rgb = pal[idx]
+    elif ctype in (0, 4):
+        return w, h, px[:, :, 0].astype(np.float64)
+    else:
+        rgb = px[:, :, :3]
+    gray = (
+        0.299 * rgb[..., 0].astype(np.float64)
+        + 0.587 * rgb[..., 1]
+        + 0.114 * rgb[..., 2]
+    )
+    return w, h, gray
+
+
 def bilinear_resize(gray: np.ndarray, out_h: int = 8,
                     out_w: int = 8) -> np.ndarray:
     """Half-pixel-center bilinear resample of a 2-D plane (the portable
@@ -224,27 +387,59 @@ def _bmp_decode(data: bytes) -> tuple[int, int, np.ndarray]:
         return 0, 0, np.zeros(REAL_FEATURE_DIM, dtype=np.float32)
 
 
+def _png_decode(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Codec-free real decode kernel: PNG read -> BT.601 luminance ->
+    8x8 bilinear block (the exact input phash64 consumes). Malformed
+    payloads degrade to the (0, 0, zeros) row — per-row error isolation
+    (ref: app/Commands.java:76-84), same contract as ``_bmp_decode``."""
+    if data is None or len(data) == 0:
+        return 0, 0, np.zeros(REAL_FEATURE_DIM, dtype=np.float32)
+    try:
+        w, h, gray = decode_png(data)
+        block = bilinear_resize(gray, 8, 8)
+        return w, h, block.reshape(REAL_FEATURE_DIM).astype(np.float32)
+    except ValueError:
+        return 0, 0, np.zeros(REAL_FEATURE_DIM, dtype=np.float32)
+
+
+def _auto_decode(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Magic-byte dispatch over the codec-free readers — the in-engine
+    analog of the reference's per-extension decode fan-in
+    (extension regex app/Commands.java:74 -> one ImageIO.read,
+    core/ImageLoader.java:7-12): 'BM' -> BMP, the PNG signature -> PNG,
+    anything else -> the degenerate (0, 0, zeros) row."""
+    if data is not None and len(data) >= 8:
+        head = bytes(data[:8])
+        if head[:2] == b"BM":
+            return _bmp_decode(data)
+        if head == _PNG_SIG:
+            return _png_decode(data)
+    return 0, 0, np.zeros(REAL_FEATURE_DIM, dtype=np.float32)
+
+
 def extract_features(media: DataFrame, decode: str = "fake") -> DataFrame:
     """media(id, kind, data:binary) -> per-item feature rows.
 
     ``mapInPandas`` so one Arrow batch is one numpy workload;
-    ``decode="real"`` (needs Pillow), ``decode="bmp"`` (codec-free
-    struct+numpy BMP reader — always available) and ``decode="fake"``
-    share the schema, batching and partitioning — only the per-row
-    kernel differs.
+    ``decode="real"`` (needs Pillow), ``decode="bmp"`` / ``decode="png"``
+    (codec-free stdlib readers — always available), ``decode="auto"``
+    (magic-byte dispatch over the codec-free readers) and
+    ``decode="fake"`` share the schema, batching and partitioning —
+    only the per-row kernel differs.
     """
-    if decode not in ("fake", "real", "bmp"):
+    if decode not in ("fake", "real", "bmp", "png", "auto"):
         raise ValueError(f"unknown decode mode {decode!r}")
     if decode == "real" and not HAS_PIL:
         # raise at PLAN time, driver-side: an executor-side surprise
         # after a long upstream job would be strictly worse
         raise NotImplementedError(
             "decode='real' requires Pillow, which is not installed in "
-            "this environment; use decode='bmp' (codec-free) or "
-            "decode='fake' for plumbing tests"
+            "this environment; use decode='bmp'/'png'/'auto' "
+            "(codec-free) or decode='fake' for plumbing tests"
         )
     kernel = {"fake": _fake_decode, "real": _real_decode,
-              "bmp": _bmp_decode}[decode]
+              "bmp": _bmp_decode, "png": _png_decode,
+              "auto": _auto_decode}[decode]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

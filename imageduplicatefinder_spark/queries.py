@@ -4598,18 +4598,26 @@ def q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     word-level near-dup texts produce near-identical pictures while
     unrelated docs from the same vocabulary light up different pixels),
     written
-    as a real 24-bit BMP (``encode_bmp``), then pushed through the
-    codec-free decode path — BMP parse -> BT.601 luminance -> 8x8
-    bilinear block (``decode="bmp"``, ref: core/ImageLoader.java:7-12,
-    core/Gray.java:6-10, core/Resize.java:6-13) -> pHash-DCT 64-bit
-    sketch (ref: hash/PHashDct.java:13-57) -> Hamming-radius pairs via
-    the generic bit-chunk LSH. Spark-only: the image render and DCT
-    have no SQL analog (rows-only check; the BMP codec, resize and DCT
-    kernels are golden-tested in tests/test_multimodal_streaming.py).
+    as a real image file — even doc_ids as 24-bit BMP (``encode_bmp``),
+    odd doc_ids as 8-bit grayscale PNG (``encode_png``, stdlib zlib) —
+    then pushed through the codec-free magic-byte decode path
+    (``decode="auto"``: BMP/PNG parse -> BT.601 luminance -> 8x8
+    bilinear block, ref: core/ImageLoader.java:7-12 + the extension
+    fan-in app/Commands.java:74, core/Gray.java:6-10,
+    core/Resize.java:6-13) -> pHash-DCT 64-bit sketch
+    (ref: hash/PHashDct.java:13-57) -> Hamming-radius pairs via the
+    generic bit-chunk LSH. Both encodings are lossless for a grayscale
+    grid (BMP replicates the channel, PNG stores it directly), so the
+    mixed-format corpus hashes identically to the all-BMP one — the
+    format split exercises the dispatch without moving the result.
+    Spark-only: the image render and DCT have no SQL analog (rows-only
+    check; the BMP/PNG codecs, resize and DCT kernels are
+    golden-tested in tests/test_multimodal_streaming.py).
     """
     from imageduplicatefinder_spark.operators.hamming_lsh import hamming_pairs
     from imageduplicatefinder_spark.operators.multimodal import (
         encode_bmp,
+        encode_png,
         extract_features,
         phash64,
     )
@@ -4635,13 +4643,14 @@ def q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     np.uint8
                 )
                 ids.append(_id)
-                blobs.append(encode_bmp(img))
+                enc = encode_bmp if _id % 2 == 0 else encode_png
+                blobs.append(enc(img))
             yield pd.DataFrame({"id": ids, "kind": "text", "data": blobs})
 
     media = docs.select("doc_id", "text").mapInPandas(
         render, "id long, kind string, data binary"
     )
-    sketches = phash64(extract_features(media, decode="bmp"))
+    sketches = phash64(extract_features(media, decode="auto"))
     return hamming_pairs(sketches, radius=2, id_col="id", sketch_col="phash")
 
 
