@@ -2721,16 +2721,23 @@ def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Candidate semantics (shared >= 1 surviving shingle) are part of the
     operator's definition and identical in the oracle; a pair whose
     every shared shingle was DF-capped away is out of scope by design
-    (same both engines). Caveat: DuckDB's levenshtein is byte-based vs
-    Spark's char-based — identical on this ASCII corpus; non-ASCII
-    corpora would need an ASCII projection before the kernel.
+    (same both engines). Engine portability (round 5): DuckDB's
+    levenshtein is byte-based vs Spark's char-based, so BOTH engines
+    apply the same ASCII projection (every non-ASCII code point -> '?')
+    before the kernel — identity on ASCII text, and on projected text
+    bytes == chars, making the distance engine-identical. Semantics:
+    all non-ASCII characters form one equivalence class for edit
+    pricing (substituting one accented char for another costs 0);
+    pinned cross-engine on a UTF-8 corpus in
+    tests/test_nonascii_corpus.py.
 
     100 TB: one equi-join shuffle for candidates (hot keys capped
     upstream), one hash-join to attach the two texts, then a row-local
     banded kernel; nothing quadratic in corpus size."""
     docs = load_table(spark, sf_dir, "documents")
     cands = _shingle_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    texts = docs.select("doc_id", "text")
+    proj = F.regexp_replace(F.col("text"), r"[^\x00-\x7F]", "?")
+    texts = docs.select("doc_id", proj.alias("text"))
     dist = F.levenshtein(F.col("ta"), F.col("tb"), _EDIT_MAX)
     return (
         cands.join(
@@ -2749,11 +2756,16 @@ def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_EDIT_DISTANCE_PAIRS = f"""
 WITH {_SHINGLE_CTE}
 SELECT p.doc_a, p.doc_b,
-       CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+       CAST(levenshtein(
+         regexp_replace(da.text, '[^\\x00-\\x7F]', '?', 'g'),
+         regexp_replace(db.text, '[^\\x00-\\x7F]', '?', 'g')) AS BIGINT)
+         AS edit_dist
 FROM pair_inter p
 JOIN documents da ON da.doc_id = p.doc_a
 JOIN documents db ON db.doc_id = p.doc_b
-WHERE levenshtein(da.text, db.text) <= {_EDIT_MAX}
+WHERE levenshtein(
+        regexp_replace(da.text, '[^\\x00-\\x7F]', '?', 'g'),
+        regexp_replace(db.text, '[^\\x00-\\x7F]', '?', 'g')) <= {_EDIT_MAX}
 """
 
 
