@@ -32,6 +32,19 @@ almost no rare content; residual skew is AQE territory. Float
 thresholds use an epsilon-guarded ceil that can only LENGTHEN the
 prefix (extra candidates, never lost recall).
 
+MEASURED LIMIT of that skew resistance (bench_artifacts/
+skew_stress_r5.json): it is threshold-dependent. When a shared
+boilerplate block exceeds ``1 - t`` of a doc's shingle set, the
+``n - ceil(t*n) + 1`` prefix necessarily reaches into the boilerplate
+and every boilerplated doc pair becomes a candidate — the scheme then
+degenerates to the exhaustive join (98.3M candidates / 105 s on a 40k
+doc corpus whose block is ~55% of a doc at t=0.5, vs the capped LSH
+scheme's bounded 4.5M / 9.4 s). This is inherent to exactness: the
+pairs ARE potential verify hits (containment through the block). For
+boilerplate-heavy corpora, use the capped LSH scheme (drop-accounted)
+or strip known boilerplate upstream (chunk-level dedup) before the
+prefix join.
+
 ref: the reference's candidate stage is the BK-tree radius walk
 (src/main/java/index/BKTreeIndex.java:34-50); this is the set-overlap
 analog for the Jaccard/containment verify rule.
