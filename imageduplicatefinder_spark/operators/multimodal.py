@@ -32,10 +32,13 @@ media-rendering queries.
 COMPRESSED codec using only the stdlib: a zlib+struct+numpy reader for
 8-bit non-interlaced PNGs (gray/RGB/palette/alpha color types, all
 five scanline filters) — png is likewise on the reference's extension
-list (ref: app/Commands.java:74). ``decode="auto"`` sniffs magic bytes
-per row and dispatches BMP/PNG, mirroring the reference's
-per-extension fan-in to one decode call. ``encode_png`` is the
-matching writer.
+list (ref: app/Commands.java:74). ``decode="jpeg"`` (round 5) covers
+the rest of that list with a from-spec baseline-sequential JPEG reader
+(operators/jpeg.py: canonical Huffman, dequant, IDCT, restart markers,
+generic chroma sampling — luminance-only output). ``decode="auto"``
+sniffs magic bytes per row and dispatches BMP/PNG/JPEG, mirroring the
+reference's per-extension fan-in to one decode call. ``encode_png`` /
+``encode_jpeg`` are the matching writers.
 
 Schema conventions:
     media table:    id:long, kind:string, meta:struct<...>, data:binary
@@ -402,18 +405,38 @@ def _png_decode(data: bytes) -> tuple[int, int, np.ndarray]:
         return 0, 0, np.zeros(REAL_FEATURE_DIM, dtype=np.float32)
 
 
+def _jpeg_decode(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Codec-free real decode kernel: baseline JPEG read
+    (operators/jpeg.py) -> luminance -> 8x8 bilinear block. Malformed
+    payloads degrade to the (0, 0, zeros) row — per-row error
+    isolation (ref: app/Commands.java:76-84)."""
+    from imageduplicatefinder_spark.operators.jpeg import decode_jpeg
+
+    if data is None or len(data) == 0:
+        return 0, 0, np.zeros(REAL_FEATURE_DIM, dtype=np.float32)
+    try:
+        w, h, gray = decode_jpeg(data)
+        block = bilinear_resize(gray, 8, 8)
+        return w, h, block.reshape(REAL_FEATURE_DIM).astype(np.float32)
+    except ValueError:
+        return 0, 0, np.zeros(REAL_FEATURE_DIM, dtype=np.float32)
+
+
 def _auto_decode(data: bytes) -> tuple[int, int, np.ndarray]:
     """Magic-byte dispatch over the codec-free readers — the in-engine
     analog of the reference's per-extension decode fan-in
     (extension regex app/Commands.java:74 -> one ImageIO.read,
     core/ImageLoader.java:7-12): 'BM' -> BMP, the PNG signature -> PNG,
-    anything else -> the degenerate (0, 0, zeros) row."""
+    FFD8FF -> JPEG, anything else -> the degenerate (0, 0, zeros)
+    row."""
     if data is not None and len(data) >= 8:
         head = bytes(data[:8])
         if head[:2] == b"BM":
             return _bmp_decode(data)
         if head == _PNG_SIG:
             return _png_decode(data)
+        if head[:3] == b"\xff\xd8\xff":
+            return _jpeg_decode(data)
     return 0, 0, np.zeros(REAL_FEATURE_DIM, dtype=np.float32)
 
 
@@ -422,24 +445,24 @@ def extract_features(media: DataFrame, decode: str = "fake") -> DataFrame:
 
     ``mapInPandas`` so one Arrow batch is one numpy workload;
     ``decode="real"`` (needs Pillow), ``decode="bmp"`` / ``decode="png"``
-    (codec-free stdlib readers — always available), ``decode="auto"``
-    (magic-byte dispatch over the codec-free readers) and
-    ``decode="fake"`` share the schema, batching and partitioning —
+    / ``decode="jpeg"`` (codec-free stdlib readers — always available),
+    ``decode="auto"`` (magic-byte dispatch over the codec-free readers)
+    and ``decode="fake"`` share the schema, batching and partitioning —
     only the per-row kernel differs.
     """
-    if decode not in ("fake", "real", "bmp", "png", "auto"):
+    if decode not in ("fake", "real", "bmp", "png", "jpeg", "auto"):
         raise ValueError(f"unknown decode mode {decode!r}")
     if decode == "real" and not HAS_PIL:
         # raise at PLAN time, driver-side: an executor-side surprise
         # after a long upstream job would be strictly worse
         raise NotImplementedError(
             "decode='real' requires Pillow, which is not installed in "
-            "this environment; use decode='bmp'/'png'/'auto' "
+            "this environment; use decode='bmp'/'png'/'jpeg'/'auto' "
             "(codec-free) or decode='fake' for plumbing tests"
         )
     kernel = {"fake": _fake_decode, "real": _real_decode,
               "bmp": _bmp_decode, "png": _png_decode,
-              "auto": _auto_decode}[decode]
+              "jpeg": _jpeg_decode, "auto": _auto_decode}[decode]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
