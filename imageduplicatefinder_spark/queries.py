@@ -5082,16 +5082,21 @@ QUERIES: dict[str, QueryFn] = {
     # real rows at driver scale)
     "token_set_dup_groups": q_token_set_dup_groups,
     "token_set_dup_pairs": q_token_set_dup_pairs,
-    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    # the prefix-filter form holds this oracle's window slot (it pins
+    # the AllPairs machinery AND the shared result set); the plain
+    # exact-join form — the oracle's own shape — sits past the window,
+    # still check_oracles-verified. Its slot went to the round-5
+    # newly-oracled semdedup_keeper (standing hygiene rule: displace a
+    # redundant same-oracle row for new operator-family coverage).
     "ngram_jaccard_prefix_pairs": q_ngram_jaccard_prefix_pairs,
     "ngram_containment_pairs": q_ngram_containment_pairs,
     "char_ngram_jaccard_pairs": q_char_ngram_jaccard_pairs,
     "minhash_band_pairs_portable": q_minhash_band_pairs_portable,
     "lsh_recall_report": q_lsh_recall_report,
-    # tfidf: the brute baseline and the AUTO dispatcher hold the window
-    # slots; the two fixed alternates (prefix / dense) are pytest-pinned
-    # output-identical to the brute form and sit past the window
-    "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
+    # tfidf: the AUTO dispatcher holds the window slot (same oracle and
+    # result as the brute baseline, plus the dispatch rule); brute and
+    # the two fixed alternates are pytest-pinned output-identical and
+    # sit past the window — the freed slot went to ann_ivf_topk
     "tfidf_cosine_pairs_auto": q_tfidf_cosine_pairs_auto,
     "containment_confirmed": q_containment_confirmed,
     "dedup_keeper_plan": q_dedup_keeper_plan,
@@ -5135,6 +5140,11 @@ QUERIES: dict[str, QueryFn] = {
     "embedding_neardup_lsh_amplified": q_embedding_neardup_lsh_amplified,
     "embedding_dedup_keeper": q_embedding_dedup_keeper,
     "ann_lsh_bucketed": q_ann_lsh_bucketed,
+    # oracled since round 5 (pinned coarse quantizer inlined as SQL
+    # literals, the ann_lsh_bucketed hyperplane pattern); hold the two
+    # window slots freed from the redundant same-oracle rows above
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "semdedup_keeper": q_semdedup_keeper,
     # temporal joins
     "asof_click_purchase": q_asof_click_purchase,
     "range_purchase_followups": q_range_purchase_followups,
@@ -5148,6 +5158,8 @@ QUERIES: dict[str, QueryFn] = {
     # pinned) or vacuous at driver scale (exact_dup_*/code_clone_classes/
     # embedding_near_dup_pairs return 0 rows on the driver corpus — their
     # non-vacuous siblings hold the window slots) or a relational demo
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "tfidf_cosine_pairs": q_tfidf_cosine_pairs,
     "tfidf_cosine_prefix_pairs": q_tfidf_cosine_prefix_pairs,
     "tfidf_cosine_dense_pairs": q_tfidf_cosine_dense_pairs,
     "exact_dup_clusters": q_exact_dup_clusters,
@@ -5176,10 +5188,6 @@ QUERIES: dict[str, QueryFn] = {
     "top_events_per_user": q_top_events_per_user,
     "order_priority_pivot": q_order_priority_pivot,
     "event_user_reach": q_event_user_reach,
-    # oracled since round 5: pinned coarse quantizer inlined as SQL
-    # literals (the ann_lsh_bucketed hyperplane pattern)
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "semdedup_keeper": q_semdedup_keeper,
     # Spark-only (rows-only driver check)
     "minhash_lsh_candidates": q_minhash_lsh_candidates,
     "near_dup_clusters": q_near_dup_clusters,
