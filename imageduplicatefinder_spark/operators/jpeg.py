@@ -117,7 +117,17 @@ def _extend(v: int, size: int) -> int:
 def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
     """Baseline-sequential JPEG -> (width, height, luminance float64).
     Raises ValueError on anything that is not a well-formed supported
-    JPEG."""
+    JPEG — including structurally-lying payloads whose segment lengths
+    would otherwise surface as struct.error/IndexError deep in the
+    parser (normalized here so the per-row isolation contract is one
+    exception type; pinned by tests/test_codec_fuzz.py)."""
+    try:
+        return _decode_jpeg_impl(data)
+    except (struct.error, IndexError) as exc:
+        raise ValueError(f"malformed JPEG structure: {exc}") from exc
+
+
+def _decode_jpeg_impl(data: bytes) -> tuple[int, int, np.ndarray]:
     if data is None or len(data) < 4 or bytes(data[:2]) != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     data = bytes(data)

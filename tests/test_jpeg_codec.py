@@ -141,3 +141,16 @@ def test_jpeg_auto_dispatch_and_family_e2e(spark):
     for a, b in combinations(sorted(fam), 2):
         assert (a, b) in pairs, f"family pair {(a, b)} missing"
     assert not any((a in fam) != (b in fam) for a, b in pairs if b != 999)
+
+
+def test_jpeg_structural_lies_raise_valueerror_not_parser_errors():
+    """Segment lengths that lie about their payload must surface as the
+    contract ValueError, not struct.error/IndexError (the per-row skip
+    catches only ValueError)."""
+    import struct
+
+    short_sof = b"\xff\xd8" + struct.pack(">BBH", 0xFF, 0xC0, 4) + b"\x08\x00"
+    lying_dht = b"\xff\xd8" + struct.pack(">BBH", 0xFF, 0xC4, 5) + b"\x00\x05\x01"
+    for blob in (short_sof, lying_dht):
+        with pytest.raises(ValueError):
+            decode_jpeg(blob)
