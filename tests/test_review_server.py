@@ -136,3 +136,32 @@ def test_apply_plan_moves_collision_and_missing(spark, tmp_path):
     assert targets == ["dup.py", "dup_1.py"]
     assert statuses[str(d / "gone.py")]["status"] == "missing"
     assert sorted(os.listdir(qdir)) == ["dup.py", "dup_1.py"]
+
+
+def test_review_server_failed_job_surfaces_error(spark):
+    """A job over a nonexistent root must end FAILED with the error
+    string in the status payload — never a hung RUNNING or a server
+    crash (the reference's JobStatus error field,
+    WebServer.java:29-36)."""
+    from imageduplicatefinder_spark.plans.review import ReviewServer
+
+    server = ReviewServer(spark)
+    port = server.start()
+    try:
+        code, out = _req(port, "POST", "/api/process",
+                         {"root": "/nonexistent/dir/xyz"})
+        assert code == 202
+        job = out["job_id"]
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            code, st = _req(port, "GET", f"/api/job/{job}")
+            if st["status"] != "RUNNING":
+                break
+            time.sleep(0.5)
+        assert st["status"] == "FAILED"
+        assert st["error"]
+        # data routes answer 409 with the failure, not 500
+        code, body = _req(port, "GET", f"/api/plan?job={job}")
+        assert code == 409 and body["error"]
+    finally:
+        server.stop()
