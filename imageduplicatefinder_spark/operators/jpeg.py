@@ -361,88 +361,151 @@ def _csize(v: int) -> int:
 
 
 def encode_jpeg(
-    pixels: np.ndarray, quality: int = 100, restart_interval: int = 0
+    pixels: np.ndarray,
+    quality: int = 100,
+    restart_interval: int = 0,
+    subsampling: str = "gray",
 ) -> bytes:
-    """(h, w) uint8 grayscale -> baseline JFIF JPEG bytes. Lossy:
-    round-trip error is bounded by quantization (at quality=100 the
-    table is all ones and the error is DCT float rounding, a few
-    levels). ``restart_interval`` > 0 emits DRI + RSTn markers every
-    that many MCUs (resets the DC prediction and byte-aligns), mainly
-    so the decoder's restart path has an in-container test vector."""
+    """(h, w) grayscale or (h, w, 3) RGB uint8 -> baseline JFIF JPEG
+    bytes. Lossy: round-trip error is bounded by quantization (at
+    quality=100 the table is all ones and the error is DCT float
+    rounding, a few levels). ``restart_interval`` > 0 emits DRI + RSTn
+    markers every that many MCUs (resets the DC predictions and
+    byte-aligns). ``subsampling``: "gray" (default — RGB input is
+    collapsed to BT.601 luminance, one component), "444" (YCbCr, all
+    components full resolution) or "420" (YCbCr, chroma 2x2 box-mean
+    at half resolution — the interleaved-MCU layout real camera JPEGs
+    use). The color modes exist chiefly so the DECODER's
+    multi-component path (chroma bitstream sync, generic sampling
+    factors, luma-only IDCT) has in-container test vectors."""
     px = np.asarray(pixels)
-    if px.ndim == 3 and px.shape[2] == 3:
-        # encode the BT.601 luminance of RGB input (the decode path
-        # produces luminance anyway)
-        px = (0.299 * px[..., 0] + 0.587 * px[..., 1]
-              + 0.114 * px[..., 2])
-    if px.ndim != 2 or px.shape[0] == 0 or px.shape[1] == 0:
-        raise ValueError(f"encode_jpeg wants (h, w[, 3]), got {px.shape}")
-    h, w = px.shape
+    if subsampling not in ("gray", "444", "420"):
+        raise ValueError(f"unknown subsampling {subsampling!r}")
+    if subsampling == "gray":
+        if px.ndim == 3 and px.shape[2] == 3:
+            # encode the BT.601 luminance of RGB input (the decode path
+            # produces luminance anyway)
+            px = (0.299 * px[..., 0] + 0.587 * px[..., 1]
+                  + 0.114 * px[..., 2])
+        if px.ndim != 2 or px.shape[0] == 0 or px.shape[1] == 0:
+            raise ValueError(
+                f"encode_jpeg wants (h, w[, 3]), got {px.shape}"
+            )
+    elif px.ndim != 3 or px.shape[2] != 3 or px.shape[0] == 0 \
+            or px.shape[1] == 0:
+        raise ValueError(
+            f"encode_jpeg subsampling={subsampling!r} wants (h, w, 3), "
+            f"got {px.shape}"
+        )
+    h, w = px.shape[:2]
     if h > 0xFFFF or w > 0xFFFF:
         raise ValueError("image too large for JPEG dimensions")
     q = _quant_table(quality)
-    pad = np.pad(
-        px.astype(np.float64), ((0, -h % 8), (0, -w % 8)), mode="edge"
-    )
+
+    # components: (plane float64, h_factor, v_factor) — JFIF YCbCr
+    if subsampling == "gray":
+        comps = [(px.astype(np.float64), 1, 1)]
+    else:
+        r, g, b = (px[..., i].astype(np.float64) for i in range(3))
+        yy = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsampling == "444":
+            comps = [(yy, 1, 1), (cb, 1, 1), (cr, 1, 1)]
+        else:  # 420: chroma = 2x2 box mean at half resolution
+            def half(p: np.ndarray) -> np.ndarray:
+                p = np.pad(p, ((0, p.shape[0] % 2), (0, p.shape[1] % 2)),
+                           mode="edge")
+                return (p[0::2, 0::2] + p[0::2, 1::2]
+                        + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+            comps = [(yy, 2, 2), (half(cb), 1, 1), (half(cr), 1, 1)]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = []
+    for plane, ch, cv in comps:
+        th, tw = mcus_y * cv * 8, mcus_x * ch * 8
+        planes.append((np.pad(
+            plane, ((0, th - plane.shape[0]), (0, tw - plane.shape[1])),
+            mode="edge",
+        ), ch, cv))
+
     dc_enc = _build_encode_table(_ENC_DC_BITS, _ENC_DC_VALS)
     ac_enc = _build_encode_table(_ENC_AC_BITS, _AC_SYMS)
     bw = _BitWriter()
-    pred = 0
+    preds = [0] * len(planes)
     body = bytearray()
+
+    def put_block(block: np.ndarray, ci: int) -> None:
+        # q is a flat (single-valued) table, so its zigzag reordering is
+        # the identity — the DQT segment below is spec-correct (zigzag)
+        coefs = (_B @ (block - 128.0) @ _B.T).reshape(64)[ZIGZAG]
+        qcoefs = np.round(coefs / q).astype(np.int64)
+        diff = int(qcoefs[0]) - preds[ci]
+        preds[ci] = int(qcoefs[0])
+        s = _csize(diff)
+        code, ln = dc_enc[s]
+        bw.write(code, ln)
+        if s:
+            bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        run = 0
+        nz = np.nonzero(qcoefs[1:])[0]
+        last = nz[-1] + 1 if len(nz) else 0
+        for k in range(1, last + 1):
+            v = int(qcoefs[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_enc[0xF0]
+                bw.write(code, ln)
+                run -= 16
+            s = _csize(v)
+            if s > 10:
+                raise ValueError("AC coefficient out of range")
+            code, ln = ac_enc[(run << 4) | s]
+            bw.write(code, ln)
+            bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last < 63:
+            code, ln = ac_enc[0x00]  # EOB
+            bw.write(code, ln)
+
     mcu_i = 0
-    # q is a flat (single-valued) table, so its zigzag reordering is the
-    # identity — the DQT segment below is spec-correct (zigzag order)
-    for y0 in range(0, pad.shape[0], 8):
-        for x0 in range(0, pad.shape[1], 8):
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
             if restart_interval and mcu_i and mcu_i % restart_interval == 0:
                 body += bw.flush()
                 body += bytes([0xFF, 0xD0 + ((mcu_i // restart_interval - 1)
                                              % 8)])
                 bw = _BitWriter()
-                pred = 0
+                preds = [0] * len(planes)
             mcu_i += 1
-            block = pad[y0 : y0 + 8, x0 : x0 + 8] - 128.0
-            coefs = (_B @ block @ _B.T).reshape(64)[ZIGZAG]
-            qcoefs = np.round(coefs / q).astype(np.int64)
-            diff = int(qcoefs[0]) - pred
-            pred = int(qcoefs[0])
-            s = _csize(diff)
-            code, ln = dc_enc[s]
-            bw.write(code, ln)
-            if s:
-                bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
-            run = 0
-            nz = np.nonzero(qcoefs[1:])[0]
-            last = nz[-1] + 1 if len(nz) else 0
-            for k in range(1, last + 1):
-                v = int(qcoefs[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_enc[0xF0]
-                    bw.write(code, ln)
-                    run -= 16
-                s = _csize(v)
-                if s > 10:
-                    raise ValueError("AC coefficient out of range")
-                code, ln = ac_enc[(run << 4) | s]
-                bw.write(code, ln)
-                bw.write(v if v >= 0 else v + (1 << s) - 1, s)
-                run = 0
-            if last < 63:
-                code, ln = ac_enc[0x00]  # EOB
-                bw.write(code, ln)
+            for ci, (plane, ch, cv) in enumerate(planes):
+                for by in range(cv):
+                    for bx in range(ch):
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        put_block(plane[y0 : y0 + 8, x0 : x0 + 8], ci)
     body += bw.flush()
     body = bytes(body)
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
 
+    nc = len(planes)
+    sof = struct.pack(">BHHB", 8, h, w, nc) + b"".join(
+        bytes([ci + 1, (ch << 4) | cv, 0])
+        for ci, (_, ch, cv) in enumerate(planes)
+    )
+    sos = bytes([nc]) + b"".join(
+        bytes([ci + 1, 0x00]) for ci in range(nc)
+    ) + bytes([0, 63, 0])
     out = b"\xff\xd8"
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += seg(0xDB, bytes([0]) + bytes(int(v) for v in q))
-    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xC0, sof)
     out += seg(
         0xC4,
         bytes([0x00]) + bytes(_ENC_DC_BITS) + _ENC_DC_VALS
@@ -450,6 +513,6 @@ def encode_jpeg(
     )
     if restart_interval:
         out += seg(0xDD, struct.pack(">H", restart_interval))
-    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += seg(0xDA, sos)
     out += body + b"\xff\xd9"
     return out

@@ -154,3 +154,29 @@ def test_jpeg_structural_lies_raise_valueerror_not_parser_errors():
     for blob in (short_sof, lying_dht):
         with pytest.raises(ValueError):
             decode_jpeg(blob)
+
+
+def test_jpeg_color_modes_exercise_multicomponent_decode():
+    """4:4:4 and 4:2:0 YCbCr encodings must decode to the same
+    luminance as the grayscale encoding of the identical image — this
+    is the in-container coverage of the decoder's multi-component path:
+    interleaved MCU geometry, generic sampling factors, chroma
+    bitstream sync with luma-only IDCT, and multi-predictor restarts."""
+    rng = np.random.default_rng(42)
+    rgb = rng.integers(0, 256, (21, 29, 3), dtype=np.uint8)
+    luma = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    for sub in ("gray", "444", "420"):
+        w, h, gray = decode_jpeg(
+            encode_jpeg(rgb, quality=100, subsampling=sub)
+        )
+        assert (w, h) == (29, 21)
+        assert np.abs(gray - luma).max() < 3.0, sub
+    # restart markers across a 3-component interleave reset ALL DC preds
+    _, _, gray = decode_jpeg(
+        encode_jpeg(rgb, quality=100, subsampling="420", restart_interval=1)
+    )
+    assert np.abs(gray - luma).max() < 3.0
+    with pytest.raises(ValueError):
+        encode_jpeg(rgb, subsampling="422")
+    with pytest.raises(ValueError):
+        encode_jpeg(np.zeros((8, 8), np.uint8), subsampling="444")
