@@ -823,3 +823,35 @@ def test_auto_decode_dispatches_bmp_and_png(spark):
     assert got[1].feature == got[2].feature
     assert (got[1].width, got[1].height) == (16, 16)
     assert got[3].width == 0 and got[3].feature == [0.0] * REAL_FEATURE_DIM
+
+
+@pytest.mark.skipif(
+    not __import__(
+        "imageduplicatefinder_spark.operators.multimodal",
+        fromlist=["HAS_PIL"],
+    ).HAS_PIL,
+    reason="Pillow not installed",
+)
+def test_png_cross_check_vs_pil():
+    """With Pillow present, our PNG writer's output must decode in PIL
+    to the exact pixels, and a PIL-encoded PNG must decode exactly in
+    our reader (PNG is lossless, so both directions are bit-exact)."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from imageduplicatefinder_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (18, 25), dtype=np.uint8)
+    pil_img = Image.open(io.BytesIO(encode_png(img)))
+    assert np.array_equal(np.asarray(pil_img), img)
+    buf = io.BytesIO()
+    Image.fromarray(img, mode="L").save(buf, format="PNG")
+    w, h, gray = decode_png(buf.getvalue())
+    assert (w, h) == (25, 18)
+    assert np.array_equal(gray, img.astype(np.float64))
