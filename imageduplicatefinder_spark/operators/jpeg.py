@@ -232,6 +232,13 @@ def _decode_jpeg_impl(data: bytes) -> tuple[int, int, np.ndarray]:
         pos += 1
     segments.append(bytes(cur))
 
+    if len(scan) == 1:
+        # T.81 A.2.2: a single-component scan is NON-interleaved — the
+        # MCU is one data unit and the component's blocks are coded in
+        # raster order, regardless of its declared sampling factors
+        # (e.g. jpegtran -grayscale keeps the Y factors at 2x2). Treat
+        # it as 1x1 so the geometry below degenerates to that raster.
+        scan[0] = {**scan[0], "h": 1, "v": 1}
     hmax = max(c["h"] for c in scan)
     vmax = max(c["v"] for c in scan)
     if hmax < 1 or vmax < 1 or any(
@@ -241,18 +248,37 @@ def _decode_jpeg_impl(data: bytes) -> tuple[int, int, np.ndarray]:
     w, h = frame["w"], frame["h"]
     if w == 0 or h == 0:
         raise ValueError("bad JPEG dimensions")
+    if w * h > (1 << 26):
+        # fingerprint-decode bound (a 64M-pixel float64 luma plane is
+        # 512 MB): a tiny crafted SOF declaring 65535x65535 must fail
+        # as a ValueError, not as an executor-killing MemoryError
+        # (decode_bmp has the same declared-vs-actual guard shape)
+        raise ValueError(f"JPEG dimensions {w}x{h} exceed decode bound")
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
-    planes = {}
-    luma_idx = 0  # first scan component is Y (or the only gray plane)
-    for i, c in enumerate(scan):
-        planes[i] = np.zeros(
-            (mcus_y * c["v"] * 8, mcus_x * c["h"] * 8), dtype=np.float64
+    blocks_total = mcus_x * mcus_y * sum(c["h"] * c["v"] for c in scan)
+    entropy_bytes = sum(len(s) for s in segments)
+    # every coded block costs >= 2 bits (shortest DC code + EOB);
+    # a payload declaring far more blocks than its entropy stream
+    # could possibly hold is structurally lying — reject before
+    # allocating planes
+    if entropy_bytes * 8 < blocks_total * 2:
+        raise ValueError(
+            f"JPEG entropy stream ({entropy_bytes} bytes) cannot hold "
+            f"{blocks_total} declared blocks"
         )
+    luma_idx = 0  # first scan component is Y (or the only gray plane)
+    for c in scan:
         if c["tq"] not in qt:
             raise ValueError(f"missing JPEG quant table {c['tq']}")
         if (0, c["dc"]) not in huff or (1, c["ac"]) not in huff:
             raise ValueError("missing JPEG Huffman table")
+    # only the luminance plane is ever materialized — chroma blocks are
+    # entropy-decoded for bitstream sync but never IDCT'd or stored
+    yc = scan[luma_idx]
+    planes = {luma_idx: np.zeros(
+        (mcus_y * yc["v"] * 8, mcus_x * yc["h"] * 8), dtype=np.float64
+    )}
 
     seg_i = 0
     reader = _BitReader(segments[0])

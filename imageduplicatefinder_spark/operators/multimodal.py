@@ -116,6 +116,22 @@ def _real_decode(data: bytes) -> tuple[int, int, np.ndarray]:
         return 0, 0, np.zeros(REAL_FEATURE_DIM, dtype=np.float32)
 
 
+def _luma_exact(r: np.ndarray, g: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """BT.601 luminance with EXACT identity on true-gray pixels: where
+    r == g == b the luminance of (v, v, v) IS v, but the weighted float
+    sum is off by ~1 ulp for some byte values — enough to flip a pHash
+    bit on an exact DCT/median tie. Routing equal-channel pixels
+    through the identity makes all three codec paths (gray PNG/JPEG,
+    RGB BMP/PNG) decode gray content to bit-identical planes (the
+    invariant q_media_phash_pairs' mixed-format corpus relies on)."""
+    eq = (r == g) & (g == b)
+    rf = r.astype(np.float64)
+    return np.where(
+        eq, rf, 0.299 * rf + 0.587 * g.astype(np.float64)
+        + 0.114 * b.astype(np.float64)
+    )
+
+
 def encode_bmp(pixels: np.ndarray) -> bytes:
     """Write an (h, w, 3) uint8 RGB array — or (h, w) grayscale, which
     is replicated across channels — as a 24-bit uncompressed bottom-up
@@ -194,12 +210,7 @@ def decode_bmp(data: bytes) -> tuple[int, int, np.ndarray]:
     else:
         ch = bpp // 8
         bgr = raw[:, : w * ch].reshape(h, w, ch)[:, :, :3]
-    gray = (
-        0.114 * bgr[..., 0].astype(np.float64)
-        + 0.587 * bgr[..., 1]
-        + 0.299 * bgr[..., 2]
-    )
-    return w, h, gray
+    return w, h, _luma_exact(bgr[..., 2], bgr[..., 1], bgr[..., 0])
 
 
 #: PNG file signature (public spec: PNG (Second Edition), ISO/IEC 15948)
@@ -294,14 +305,22 @@ def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if nch is None:
         raise ValueError(f"unsupported color type {ctype}")
-    if w <= 0 or h <= 0 or w > (1 << 24) or h > (1 << 24):
-        raise ValueError(f"bad dimensions {w}x{h}")
+    if w <= 0 or h <= 0 or w * h * nch > (1 << 28):
+        # fingerprint-decode bound: a small header declaring a huge
+        # image must fail as ValueError, never as a MemoryError that
+        # escapes the per-row isolation (same posture as decode_jpeg)
+        raise ValueError(f"bad or oversized dimensions {w}x{h}x{nch}")
+    stride = w * nch
+    expected = (stride + 1) * h
+    # BOUNDED inflate: cap the output at expected+1 bytes so a zlib
+    # bomb (tiny IDAT, huge decompressed stream) cannot materialize
+    # arbitrary memory before the length check
     try:
-        raw = zlib.decompress(b"".join(idat))
+        d = zlib.decompressobj()
+        raw = d.decompress(b"".join(idat), expected + 1)
     except zlib.error as exc:
         raise ValueError(f"corrupt PNG pixel stream: {exc}") from exc
-    stride = w * nch
-    if len(raw) != (stride + 1) * h:
+    if len(raw) != expected or d.unconsumed_tail:
         raise ValueError("bad PNG pixel payload length")
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     ftypes = arr[:, 0]
@@ -314,15 +333,15 @@ def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
             rec = cur
         elif f == 2:  # Up
             rec = (cur + prev) & 0xFF
-        elif f in (1, 3, 4):  # Sub / Average / Paeth: left-dependent
+        elif f == 1:  # Sub: per-channel running sum mod 256, vectorized
+            rec = np.cumsum(cur.reshape(-1, nch), axis=0).reshape(-1) & 0xFF
+        elif f in (3, 4):  # Average / Paeth: serial left dependency
             rec = np.empty(stride, dtype=np.int64)
             for x in range(stride):
                 a = rec[x - nch] if x >= nch else 0
                 b = prev[x]
                 c = prev[x - nch] if x >= nch else 0
-                if f == 1:
-                    pred = a
-                elif f == 3:
+                if f == 3:
                     pred = (a + b) >> 1
                 else:
                     p = a + b - c
@@ -348,12 +367,7 @@ def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
         return w, h, px[:, :, 0].astype(np.float64)
     else:
         rgb = px[:, :, :3]
-    gray = (
-        0.299 * rgb[..., 0].astype(np.float64)
-        + 0.587 * rgb[..., 1]
-        + 0.114 * rgb[..., 2]
-    )
-    return w, h, gray
+    return w, h, _luma_exact(rgb[..., 0], rgb[..., 1], rgb[..., 2])
 
 
 def bilinear_resize(gray: np.ndarray, out_h: int = 8,

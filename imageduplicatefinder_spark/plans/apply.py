@@ -40,14 +40,20 @@ def _local_path(p: str) -> str:
     return p
 
 
-def _collision_target(target: str) -> str:
+def _collision_target(target: str, reserved: set[str]) -> str:
     """First free ``name``, ``name_1``, ``name_2``, ... (suffix before
-    the extension, matching safeMove)."""
-    if not os.path.exists(target):
+    the extension, matching safeMove). ``reserved`` carries the targets
+    already assigned THIS run, so dry-run manifests predict the same
+    names a real apply produces, and a mid-run move error cannot make
+    two rows claim one target."""
+    def taken(p: str) -> bool:
+        return p in reserved or os.path.exists(p)
+
+    if not taken(target):
         return target
     stem, ext = os.path.splitext(target)
     k = 1
-    while os.path.exists(f"{stem}_{k}{ext}"):
+    while taken(f"{stem}_{k}{ext}"):
         k += 1
     return f"{stem}_{k}{ext}"
 
@@ -67,12 +73,14 @@ def apply_plan_moves(
     """
     os.makedirs(quarantine_dir, exist_ok=True)
     manifest: list[dict] = []
+    reserved: set[str] = set()
     rows = plan.filter(plan["action"] == "DELETE").select("path")
     for row in rows.toLocalIterator():
         src = _local_path(row["path"])
         target = _collision_target(
-            os.path.join(quarantine_dir, os.path.basename(src))
+            os.path.join(quarantine_dir, os.path.basename(src)), reserved
         )
+        reserved.add(target)
         if not os.path.exists(src):
             manifest.append({"src": src, "target": target,
                              "status": "missing"})

@@ -50,16 +50,28 @@ from pyspark.sql import functions as F
 MAX_PAGE = 10_000
 
 
+class _ClientError(ValueError):
+    """Malformed client input -> HTTP 400 (not the generic 500)."""
+
+
 class _Job:
     def __init__(self) -> None:
         self.status = "RUNNING"
         self.error: str | None = None
         self.result = None
         self.pipe = None
+        # serializes plan-mutating routes (update/apply) against each
+        # other: ThreadingHTTPServer handles requests concurrently, and
+        # two unsynchronized updates would both read the same base plan
+        # and silently drop one client's overrides (last-writer-wins)
+        self.lock = threading.Lock()
 
 
-def _df_page(df, limit: int) -> list[dict]:
-    limit = max(1, min(int(limit), MAX_PAGE))
+def _df_page(df, limit) -> list[dict]:
+    try:
+        limit = max(1, min(int(limit), MAX_PAGE))
+    except (TypeError, ValueError) as exc:
+        raise _ClientError(f"bad 'limit': {limit!r}") from exc
     return [
         {k: (v if isinstance(v, (int, float, str, bool, type(None)))
              else str(v))
@@ -163,11 +175,13 @@ class ReviewServer:
                   o.get("action")) for o in overrides],
                 "repo string, path string, commit string, action string",
             )
-            # materialize before replacing: the editor contract is that
-            # the updated plan is a stable table, not a live view of ov
-            new_plan = apply_plan_overrides(job.result.plan, ov)
-            new_plan = new_plan.localCheckpoint()
-            job.result = replace(job.result, plan=new_plan)
+            with job.lock:
+                # materialize before replacing: the editor contract is
+                # that the updated plan is a stable table, not a live
+                # view of ov
+                new_plan = apply_plan_overrides(job.result.plan, ov)
+                new_plan = new_plan.localCheckpoint()
+                job.result = replace(job.result, plan=new_plan)
             summary = {
                 r["action"]: r["n"]
                 for r in new_plan.groupBy("action")
@@ -189,9 +203,11 @@ class ReviewServer:
                 apply_plan_moves,
             )
 
-            manifest = apply_plan_moves(
-                job.result.plan, qdir, dry_run=bool(body.get("dry_run"))
-            )
+            with job.lock:  # apply must see a settled plan, not one
+                # mid-swap with a concurrent /api/plan/update
+                manifest = apply_plan_moves(
+                    job.result.plan, qdir, dry_run=bool(body.get("dry_run"))
+                )
             return 200, {"manifest": manifest}
 
         return 404, {"error": f"no route {method} {path}"}
@@ -215,10 +231,16 @@ class ReviewServer:
                     except json.JSONDecodeError:
                         self._send(400, {"error": "invalid JSON body"})
                         return
+                    if not isinstance(body, dict):
+                        self._send(400, {"error": "JSON body must be "
+                                                  "an object"})
+                        return
                 try:
                     code, payload = server._handle(
                         method, parsed.path, parse_qs(parsed.query), body
                     )
+                except _ClientError as exc:
+                    code, payload = 400, {"error": str(exc)}
                 except Exception as exc:  # noqa: BLE001 - API surface
                     code, payload = 500, {
                         "error": f"{type(exc).__name__}: {exc}"

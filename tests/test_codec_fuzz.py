@@ -92,3 +92,80 @@ def test_decode_kernels_never_raise_on_corrupted_real_payloads(tail, data):
         w, h, feat = kernel(payload)
         assert feat.shape == (REAL_FEATURE_DIM,)
         _auto_decode(payload)
+
+
+def test_declared_size_bombs_raise_valueerror_not_memoryerror():
+    """A tiny payload whose header declares a huge image must fail as
+    the contract ValueError BEFORE any large allocation (review
+    finding: MemoryError would escape the per-row isolation)."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    # JPEG: real blob with SOF dimensions patched to 65535x65535
+    blob = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
+    sof = bytes(blob).find(b"\xff\xc0")
+    struct.pack_into(">HH", blob, sof + 5, 0xFFFF, 0xFFFF)
+    with _pytest.raises(ValueError):
+        decode_jpeg(bytes(blob))
+
+    # PNG: header declaring 2^15 x 2^15 RGB (dimension-product bound)
+    def chunk(tag, payload):
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", 1 << 15, 1 << 15, 8, 2, 0, 0, 0)
+    bomb = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+            + chunk(b"IEND", b""))
+    with _pytest.raises(ValueError):
+        decode_png(bomb)
+
+    # PNG: stream decompressing LONGER than the declared size is cut
+    # off by the bounded inflate and rejected
+    from imageduplicatefinder_spark.operators.multimodal import _PNG_SIG
+
+    real = encode_png(np.zeros((4, 4), np.uint8))
+    small_ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    lying = (_PNG_SIG + chunk(b"IHDR", small_ihdr)
+             + real[real.find(b"IDAT") - 4 : real.find(b"IEND") - 4]
+             + chunk(b"IEND", b""))
+    with _pytest.raises(ValueError):
+        decode_png(lying)
+
+
+def test_single_component_jpeg_ignores_declared_sampling_factors():
+    """T.81 A.2.2: an Ns=1 scan is non-interleaved; a grayscale JPEG
+    declaring 2x2 sampling factors (jpegtran -grayscale shape) must
+    decode identically to the 1x1 declaration."""
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (24, 40), dtype=np.uint8)
+    blob = bytearray(encode_jpeg(img, quality=100))
+    sof = bytes(blob).find(b"\xff\xc0")
+    assert blob[sof + 11] == 0x11  # (h<<4)|v of component 1
+    base = decode_jpeg(bytes(blob))[2]
+    blob[sof + 11] = 0x22
+    w, h, patched = decode_jpeg(bytes(blob))
+    assert (w, h) == (40, 24)
+    assert np.array_equal(patched, base)
+
+
+def test_gray_content_decodes_bit_identically_across_codecs():
+    """True-gray pixels must produce bit-identical luminance planes
+    through the BMP (BGR replicate) and PNG (gray channel) paths — the
+    invariant the mixed-format media query relies on (1-ulp weighted-
+    sum drift could flip pHash bits on exact DCT/median ties)."""
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    _, _, via_bmp = decode_bmp(encode_bmp(img))
+    _, _, via_png = decode_png(encode_png(img))
+    assert np.array_equal(via_bmp, via_png)
+    assert np.array_equal(via_bmp, img.astype(np.float64))
+    # RGB input with some gray pixels: those pixels exact, rest weighted
+    rgb = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    rgb[0, :] = 77  # a true-gray row
+    _, _, g1 = decode_bmp(encode_bmp(rgb))
+    _, _, g2 = decode_png(encode_png(rgb))
+    assert np.array_equal(g1[0], np.full(8, 77.0))
+    assert np.abs(g1 - g2).max() < 1e-9

@@ -165,3 +165,61 @@ def test_review_server_failed_job_surfaces_error(spark):
         assert code == 409 and body["error"]
     finally:
         server.stop()
+
+
+def test_apply_dry_run_predicts_real_targets(spark, tmp_path):
+    """Review finding: dry-run must reserve targets in-run so its
+    manifest names match what the real apply produces on basename
+    collisions."""
+    from imageduplicatefinder_spark.plans.apply import apply_plan_moves
+
+    d = tmp_path / "files"
+    (d / "x").mkdir(parents=True)
+    (d / "dup.py").write_text("one")
+    (d / "x" / "dup.py").write_text("two")
+    plan = spark.createDataFrame(
+        [("DELETE", str(d / "dup.py")),
+         ("DELETE", str(d / "x" / "dup.py"))],
+        "action string, path string",
+    )
+    qdir = str(tmp_path / "q")
+    dry = apply_plan_moves(plan, qdir, dry_run=True)
+    real = apply_plan_moves(plan, qdir)
+    assert [m["target"] for m in dry] == [m["target"] for m in real]
+    assert sorted(os.path.basename(m["target"]) for m in dry) == [
+        "dup.py", "dup_1.py"
+    ]
+
+
+def test_review_server_client_errors_are_400(spark, corpus_dir):
+    """Malformed client input (non-numeric limit, non-object JSON body)
+    must answer 400, not 500."""
+    from imageduplicatefinder_spark.plans.review import ReviewServer
+
+    server = ReviewServer(spark)
+    port = server.start()
+    try:
+        code, out = _req(port, "POST", "/api/process",
+                         {"root": corpus_dir, "extensions": ["py"]})
+        job = out["job_id"]
+        deadline = time.time() + 300
+        while time.time() < deadline:
+            _, st = _req(port, "GET", f"/api/job/{job}")
+            if st["status"] != "RUNNING":
+                break
+            time.sleep(1)
+        assert st["status"] == "DONE"
+        code, body = _req(port, "GET", f"/api/plan?job={job}&limit=abc")
+        assert code == 400 and "limit" in body["error"]
+        # valid-JSON non-object body
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/api/process", data=b"[1, 2]",
+            headers={"Content-Type": "application/json"}, method="POST",
+        )
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.stop()

@@ -254,12 +254,21 @@ def main() -> None:
         "tree plus every Scan detail block (ReadSchema / PushedFilters).",
         "",
     ]
-    for name, note in ANNOTATED.items():
-        df = QUERIES[name](spark, sf_dir)
+    # build + explain each catalog query exactly ONCE, shared by the
+    # PLANS.md emission, the BNL gate and the global-window gate — some
+    # builders do eager driver work (CC iteration, the streaming drain,
+    # the tfidf dispatch aggregate), so a second full-catalog build pass
+    # roughly doubled this tool's wall for nothing (round-5 review)
+    plans_text: dict[str, str] = {}
+    for name, fn in QUERIES.items():
+        df = fn(spark, sf_dir)
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain("formatted")
-        plan = buf.getvalue()
+        plans_text[name] = buf.getvalue()
+
+    for name, note in ANNOTATED.items():
+        plan = plans_text[name]
         tree, _, detail = plan.partition("\n\n")
         scan_blocks = []
         for block in detail.split("\n\n"):
@@ -294,12 +303,8 @@ def main() -> None:
     # no query may plan a windowed sort over an unpartitioned frame
     # unless explicitly allowlisted with a bounded-rows justification
     n_gated = 0
-    for name, fn in QUERIES.items():
-        df = fn(spark, sf_dir)
-        buf = io.StringIO()
-        with redirect_stdout(buf):
-            df.explain("formatted")
-        globals_found = _global_window_nodes(buf.getvalue())
+    for name, plan_text in plans_text.items():
+        globals_found = _global_window_nodes(plan_text)
         if name in ALLOW_GLOBAL_WINDOW:
             # allowlisted = ONE justified tiny-frame window, not a pass
             assert len(globals_found) <= 1, (
