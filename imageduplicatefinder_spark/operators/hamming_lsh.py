@@ -50,6 +50,20 @@ Scale shape:
 
 Works for ANY 64-bit sketch family (SimHash, the gradient-sign family
 in functions/fingerprints.py, or an externally-computed pHash).
+
+Round-6 kernel dispatch: the key join's raw output is Sum_key |group|^2
+rows, which on CLUSTERED sketch corpora (near-dup families -> similar
+sketches -> shared chunk values) explodes far past the uniform estimate
+— measured 1.62e9 joined rows for 49.7k distinct sketches at sf1.0,
+versus 18.5M true close pairs. In EXACT mode (no explicit ``n_agree``,
+no engaged cap) at or below ``TILE_MAX_SKETCHES`` distinct sketches,
+the operator therefore runs a tiled all-pairs XOR/popcount kernel
+instead (``_close_pairs_tiles`` — the ``blocked_cosine_pairs`` shape:
+B(B+1)/2 applyInPandas tiles over the distinct-sketch table, SWAR
+popcount, no join at all); connected-components consumers additionally
+get a per-tile spanning forest (``_forest_edges_tiles``) so the edge
+volume stays ~linear in sketches. The pigeonhole key join remains the
+dispersed/web-scale path, where the auto cap bounds it linearly.
 """
 
 from __future__ import annotations
@@ -114,6 +128,25 @@ AUTO_M2_MIN_SKETCHES = 50_000
 AUTO_CAP_MIN_SKETCHES = 50_000
 AUTO_MAX_KEY_GROUP = 32
 _AUTO_CAP_MIN_RADIUS = 6
+
+#: distinct-sketch count at or below which the EXACT tiled all-pairs
+#: XOR/popcount kernel replaces the pigeonhole key join (auto policy
+#: only — explicit ``n_agree`` pins the key scheme, an engaged cap pins
+#: the capped key scheme). Rationale (guide §1.1 first-principles +
+#: measured): the key join's raw output is Sum_key |group|^2 JVM rows —
+#: 1.62e9 rows for the 49.7k CLUSTERED sketches at sf1.0 (m=1), ~20 s
+#: just to enumerate — while S^2/2 vectorized popcounts for the same S
+#: are ~1.2e9 SIMD lane-ops spread over B(B+1)/2 numpy tiles, ~2 s at
+#: local[32]. The join only wins once S^2 popcounts dwarf the true-pair
+#: candidate volume (dispersed corpora with S in the millions — where
+#: the auto CAP engages anyway and keeps the key join bounded). At the
+#: threshold, S^2/2 = 3.4e10 popcounts ~ a few seconds of cluster time;
+#: beyond it the capped key join's LINEAR candidate bound takes over.
+TILE_MAX_SKETCHES = 262_144
+#: target rows per tile block (tile = ~2 blocks -> xor temp stripes
+#: stay tens of MB; B(B+1)/2 tasks comfortably oversubscribe any core
+#: count reached at this S)
+_TILE_BLOCK_ROWS = 3072
 
 
 def _auto_max_key_group(radius: int, n_sketches: int | None) -> int | None:
@@ -236,26 +269,206 @@ def capped_sketch_keys(
     return kept, stats
 
 
+def _popcount64(x):
+    """Vectorized SWAR popcount over a uint64 ndarray (numpy < 2 has no
+    bitwise_count). Wrapping uint64 arithmetic is intentional."""
+    import numpy as np
+
+    m1 = np.uint64(0x5555555555555555)
+    m2 = np.uint64(0x3333333333333333)
+    m4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+    h01 = np.uint64(0x0101010101010101)
+    x = x - ((x >> np.uint64(1)) & m1)
+    x = (x & m2) + ((x >> np.uint64(2)) & m2)
+    x = (x + (x >> np.uint64(4))) & m4
+    return (x * h01) >> np.uint64(56)
+
+
+def _tile_groups(src: DataFrame, n_sk: int) -> tuple[DataFrame, int]:
+    """Replicate the distinct-sketch table into B(B+1)/2 unordered
+    block-pair groups (the ``blocked_cosine_pairs`` shape): every
+    unordered sketch pair occurs in EXACTLY one (gi, gj) group, so the
+    tile kernels need no cross-tile dedup."""
+    n_blocks = max(1, min(64, -(-n_sk // _TILE_BLOCK_ROWS)))
+    base = src.select(
+        "sketch",
+        F.pmod(F.xxhash64("sketch"), F.lit(n_blocks)).alias("_blk"),
+    )
+    rep = base.withColumn(
+        "_p", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1)))
+    ).select(
+        F.least("_blk", "_p").alias("_gi"),
+        F.greatest("_blk", "_p").alias("_gj"),
+        "sketch",
+        "_blk",
+    )
+    return rep, n_blocks
+
+
+def _tile_sides(key: tuple, pdf, np):
+    """(A, B) int64 sketch arrays for one tile: the full block for a
+    diagonal tile (A is B), the two distinct blocks otherwise."""
+    gi, gj = int(key[0]), int(key[1])
+    sk = pdf["sketch"].to_numpy(dtype=np.int64)
+    if gi == gj:
+        return sk, sk, True
+    left = pdf["_blk"].to_numpy() == gi
+    return sk[left], sk[~left], False
+
+
+def _close_pairs_tiles(src: DataFrame, radius: int, n_sk: int) -> DataFrame:
+    """EXACT (sk_a, sk_b, hamming) pairs over distinct sketches via
+    tiled vectorized XOR/popcount — the clustered/moderate-S regime of
+    the dispatch (see ``TILE_MAX_SKETCHES``). Identical output contract
+    to the key-join form: sk_a < sk_b (signed), 0 < hamming <= radius.
+    Each tile streams the A side in row stripes so the xor temp stays
+    tens of MB regardless of block size."""
+    import numpy as np
+    import pandas as pd
+
+    rep, _ = _tile_groups(src, n_sk)
+    r = int(radius)
+
+    def tile(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        A, B, diag = _tile_sides(key, pdf, np)
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_h: list[np.ndarray] = []
+        if len(A) and len(B):
+            bu = B.view(np.uint64)
+            stripe = max(1, (1 << 22) // max(len(B), 1))
+            for s in range(0, len(A), stripe):
+                a = A[s : s + stripe]
+                ham = _popcount64(a.view(np.uint64)[:, None] ^ bu[None, :])
+                mask = ham <= r
+                if diag:
+                    mask &= a[:, None] < B[None, :]
+                ai, bi = np.nonzero(mask)
+                if not len(ai):
+                    continue
+                xa, xb = a[ai], B[bi]
+                out_a.append(np.minimum(xa, xb))
+                out_b.append(np.maximum(xa, xb))
+                out_h.append(ham[ai, bi].astype(np.int64))
+        if not out_a:
+            return pd.DataFrame(columns=["sk_a", "sk_b", "hamming"])
+        return pd.DataFrame(
+            {
+                "sk_a": np.concatenate(out_a),
+                "sk_b": np.concatenate(out_b),
+                "hamming": np.concatenate(out_h),
+            }
+        )
+
+    return rep.groupBy("_gi", "_gj").applyInPandas(
+        tile, "sk_a long, sk_b long, hamming long"
+    )
+
+
+def _forest_edges_tiles(src: DataFrame, radius: int, n_sk: int) -> DataFrame:
+    """Connectivity-preserving SUBSET of the close-pair graph over
+    distinct sketches, via the same tiling: each tile computes its
+    local close pairs, contracts them to connected components with
+    vectorized min-label propagation + pointer jumping, and emits one
+    root->member star edge per non-root node (<= nodes-1 edges per
+    tile instead of up to nodes^2/2 pairs).
+
+    The union over tiles of each tile-subgraph's spanning structure has
+    exactly the same connected components as the union of all close
+    pairs (a spanning forest preserves its subgraph's connectivity, and
+    global connectivity is the transitive closure of the tile
+    subgraphs' union) — so a CC consumer gets identical clusters from
+    ~B x nodes edges instead of the full quadratic-in-family pair set.
+    Measured at sf1.0: 18.5M close sketch pairs contract to < 1M forest
+    edges before the CC rounds ever shuffle them.
+
+    Output: (sk_a, sk_b), sk_a < sk_b (signed).
+    """
+    import numpy as np
+    import pandas as pd
+
+    rep, _ = _tile_groups(src, n_sk)
+    r = int(radius)
+
+    def tile(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        A, B, diag = _tile_sides(key, pdf, np)
+        if not len(A) or not len(B):
+            return pd.DataFrame(columns=["sk_a", "sk_b"])
+        # local close pairs as node indices into the tile's node list
+        nodes = A if diag else np.concatenate([A, B])
+        ai_all: list[np.ndarray] = []
+        bi_all: list[np.ndarray] = []
+        bu = B.view(np.uint64)
+        off = 0 if diag else len(A)
+        stripe = max(1, (1 << 22) // max(len(B), 1))
+        for s in range(0, len(A), stripe):
+            a = A[s : s + stripe]
+            ham = _popcount64(a.view(np.uint64)[:, None] ^ bu[None, :])
+            mask = ham <= r
+            if diag:
+                # index-based upper triangle (values are distinct, any
+                # one orientation per pair suffices for connectivity)
+                ii = np.arange(s, s + len(a))
+                mask &= ii[:, None] < np.arange(len(B))[None, :]
+            ai, bi = np.nonzero(mask)
+            if len(ai):
+                ai_all.append(ai + s)
+                bi_all.append(bi + off)
+        if not ai_all:
+            return pd.DataFrame(columns=["sk_a", "sk_b"])
+        ai = np.concatenate(ai_all)
+        bi = np.concatenate(bi_all)
+        # vectorized min-label propagation with pointer jumping
+        lab = np.arange(len(nodes), dtype=np.int64)
+        while True:
+            before = lab.copy()
+            np.minimum.at(lab, ai, lab[bi])
+            np.minimum.at(lab, bi, lab[ai])
+            while True:
+                jumped = lab[lab]
+                if np.array_equal(jumped, lab):
+                    break
+                lab = jumped
+            if np.array_equal(lab, before):
+                break
+        member = np.nonzero(lab != np.arange(len(nodes)))[0]
+        xa, xb = nodes[lab[member]], nodes[member]
+        return pd.DataFrame(
+            {"sk_a": np.minimum(xa, xb), "sk_b": np.maximum(xa, xb)}
+        )
+
+    return rep.groupBy("_gi", "_gj").applyInPandas(
+        tile, "sk_a long, sk_b long"
+    )
+
+
 def _close_sketch_pairs(
     sig: DataFrame,
     radius: int,
     n_agree: int | None,
     max_key_group: int | str | None,
+    forest: bool = False,
 ) -> DataFrame:
     """(sk_a, sk_b, hamming) over DISTINCT sketches, sk_a < sk_b,
     0 < hamming <= radius. ``sig`` must expose a ``sketch`` column and
     be materialized by the caller. ``max_key_group`` accepts the
-    ``"auto"`` sentinel (see ``_auto_max_key_group``)."""
+    ``"auto"`` sentinel (see ``_auto_max_key_group``).
+
+    ``forest=True`` (connected-components consumers only) lets the tile
+    kernel emit a connectivity-preserving spanning subset instead of
+    every close pair — same components, orders of magnitude fewer edge
+    rows on clustered corpora; the returned frame then has no
+    ``hamming`` column on the tile path."""
     n_sk = None
     src = sig
-    need_count = (n_agree is None and 64 // (radius + 1) < 10) or (
+    # the tile dispatch, the auto m policy and the auto-cap policy all
+    # need the distinct-sketch count (one cheap fixed-width count job,
+    # AQE-style runtime stats); the distinct frame is materialized and
+    # reused by whichever kernel wins the dispatch
+    need_count = n_agree is None or (
         max_key_group == "auto" and radius >= _AUTO_CAP_MIN_RADIUS
     )
     if need_count:
-        # the auto m / auto-cap policies need the distinct-sketch count
-        # (one cheap fixed-width count job, AQE-style runtime stats);
-        # the distinct frame is materialized and reused by the key
-        # explode
         src = sig.select("sketch").distinct().localCheckpoint(eager=False)
         n_sk = src.count()
     if max_key_group == "auto":
@@ -274,6 +487,21 @@ def _close_sketch_pairs(
             )
             warnings.warn(msg, HammingAutoCapWarning, stacklevel=4)
             _LOG.warning(msg)
+    # kernel dispatch: EXACT mode at moderate distinct-sketch counts
+    # runs the tiled all-pairs popcount kernel (clustered sketches make
+    # the key join's Sum|group|^2 row enumeration the bottleneck —
+    # see TILE_MAX_SKETCHES); an explicit n_agree pins the key scheme,
+    # and an engaged cap keeps the capped key scheme (its approximate
+    # semantics are part of that regime's contract)
+    if (
+        n_agree is None
+        and max_key_group is None
+        and n_sk is not None
+        and n_sk <= TILE_MAX_SKETCHES
+    ):
+        if forest:
+            return _forest_edges_tiles(src, radius, n_sk)
+        return _close_pairs_tiles(src, radius, n_sk)
     keys = sketch_keys(src, radius, n_agree=n_agree, sketch_col="sketch",
                        n_sketches=n_sk)
     if max_key_group is not None:
@@ -327,10 +555,13 @@ def hamming_pairs(
     pairs whose only agreeing block combination was a capped key are
     dropped. No cartesian product in the plan at any setting.
 
-    The auto cap bounds the dispersed-corpus near-quadratic at wide
-    radii without the caller needing to know the failure mode. Pass
-    ``None`` for exact mode at any scale, an int for an explicit cap;
-    audit what a cap truncated with ``hamming_key_stats``.
+    In exact mode at <= ``TILE_MAX_SKETCHES`` distinct sketches the
+    candidate kernel is the tiled all-pairs popcount (module
+    docstring) — same output, no key join. The auto cap bounds the
+    dispersed-corpus near-quadratic at wide radii without the caller
+    needing to know the failure mode. Pass ``None`` for exact mode at
+    any scale, an int for an explicit cap; audit what a cap truncated
+    with ``hamming_key_stats``.
 
     Output: (doc_a, doc_b, hamming) with doc_a < doc_b,
     hamming = bit_count(sketch_a XOR sketch_b) <= radius.
@@ -410,7 +641,11 @@ def hamming_edges(
     sig = sig.localCheckpoint(eager=False)
     reps = sig.groupBy("sketch").agg(F.min("_id").alias("rep_id"))
     reps = reps.localCheckpoint(eager=False)
-    close = _close_sketch_pairs(sig, radius, n_agree, max_key_group)
+    # a CC consumer needs connectivity, not every pair: the tile path
+    # emits a per-tile spanning forest (same components, ~B x sketches
+    # edges instead of the full close-pair set)
+    close = _close_sketch_pairs(sig, radius, n_agree, max_key_group,
+                                forest=True)
     rep_edges = (
         close.join(reps.select(F.col("sketch").alias("sk_a"),
                                F.col("rep_id").alias("rep_a")), on="sk_a")

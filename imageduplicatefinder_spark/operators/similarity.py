@@ -158,23 +158,28 @@ def int_cosine_tile_pairs(
     weighted-prefix join is the right plan; queries.py documents the
     dispatch rule.
 
-    Exactness envelope: dots are computed with float64 BLAS, which is
-    EXACT while ``max_val^2 * dim < 2^53`` (integer grid); beyond that
-    the tile falls back to an int64 matmul, exact while
-    ``max_val^2 * dim < 2^63`` (the dot bound — int64 accumulation
-    cannot wrap below it), and the integer matrix is kept un-cast so
-    the emitted ``dot``/``cos2_permille`` and the big-int re-verify use
-    the exact value (a float64 COPY feeds only the vectorized screen,
-    whose 1e-9 relative slack dominates the <=2^-52 cast rounding).
-    Past 2^63 the operator raises rather than wrap silently — rescale
-    the weights or use the weighted-prefix join. The threshold
-    products can exceed int64, so the float64 screen (with relative
-    slack) selects near-qualifying pairs and each survivor is
-    re-verified in arbitrary-precision Python ints — never more than
-    the output size plus a sliver of boundary pairs.
+    Exactness envelope (round-6 shape — one HALF-precision matmul per
+    tile instead of two full ones): the tile's only dense matmul is a
+    float32 SGEMM that SCREENS candidate pairs, with a relative slack
+    that provably covers the float32 accumulation error
+    (``dim * 2^-22`` >= ~8x the worst-case sequential-sum bound of
+    ``~2 * dim * 2^-24`` on D^2), so no qualifying pair can fail the
+    screen. Every screened pair is then re-verified EXACTLY from the
+    sparse integer rows (int64 merge-dot, arbitrary-precision threshold
+    compare), which also yields the emitted ``dot``, ``n_shared`` and
+    ``cos2_permille`` — the shared-count matrix that used to cost a
+    second full matmul per tile is now computed only for survivors.
+    All arithmetic below ``max_val^2 * dim < 2^63`` is exact (int64
+    accumulation cannot wrap below the dot bound); past 2^63 the
+    operator raises rather than wrap silently — rescale the weights or
+    use the weighted-prefix join. Norms are exact int64 row sums. The
+    screen can only over-select (slack direction), never drop: output
+    is IDENTICAL to the float64/bigint round-5 kernel and to the brute
+    form (pytest pins three-way equality).
 
     Input: one row per vector, sparse as parallel arrays ``idx_col``
-    (int positions < dim) / ``val_col`` (nonnegative int64 weights).
+    (int positions < dim) / ``val_col`` (nonnegative int64 weights,
+    ascending ``idx_col`` — the builders emit array_sort'ed structs).
     Output: (src, dst, n_shared, dot, cos2_permille), src < dst.
     """
     base = df.select(
@@ -195,8 +200,16 @@ def int_cosine_tile_pairs(
     )
     num, den = int(cos2_num), int(cos2_den)
 
-    def _densify(pdf: pd.DataFrame) -> np.ndarray:
-        mat = np.zeros((len(pdf), dim), dtype=np.float64)
+    # screen slack: worst-case relative error of the float32 SGEMM dot
+    # is ~1.01 * dim * 2^-24 (sequential accumulation + input rounding
+    # of weights past 2^24); squaring doubles it, the norm product in
+    # float64 adds <= a few 2^-53. dim * 2^-22 is >= ~8x that bound, so
+    # the screen can only pass EXTRA near-boundary pairs to the exact
+    # re-verify, never reject a qualifying one.
+    slack = max(1e-9, float(dim) * 2.0**-22)
+
+    def _densify32(pdf: pd.DataFrame) -> np.ndarray:
+        mat = np.zeros((len(pdf), dim), dtype=np.float32)
         lens = pdf["_idx"].str.len().to_numpy()
         if lens.sum():
             rows = np.repeat(np.arange(len(pdf)), lens)
@@ -209,7 +222,9 @@ def int_cosine_tile_pairs(
         gi, gj = int(key[0]), int(key[1])
         out_cols = ["src", "dst", "n_shared", "dot", "cos2_permille"]
         ids = pdf["_id"].to_numpy(dtype=np.int64)
-        mat = _densify(pdf)
+        idx_rows = [np.asarray(v, dtype=np.int64) for v in pdf["_idx"]]
+        val_rows = [np.asarray(v, dtype=np.int64) for v in pdf["_val"]]
+        mat = _densify32(pdf)
         if gi == gj:
             a_sel = b_sel = np.arange(len(pdf))
         else:
@@ -217,52 +232,49 @@ def int_cosine_tile_pairs(
             a_sel, b_sel = np.nonzero(left)[0], np.nonzero(~left)[0]
         if not len(a_sel) or not len(b_sel):
             return pd.DataFrame(columns=out_cols)
-        A, B = mat[a_sel], mat[b_sel]
-        max_val = int(mat.max()) if mat.size else 0
+        max_val = max((int(v.max()) for v in val_rows if v.size), default=0)
         dot_bound = max_val * max_val * dim  # Python ints, no overflow
-        if dot_bound < 2**53:
-            # float64 BLAS is exact on this integer grid; D doubles as
-            # both the screen matrix and the exact dot source
-            D_exact = D_screen = A @ B.T
-            n2a = (A * A).sum(axis=1)
-            n2b = (B * B).sum(axis=1)
-        elif dot_bound < 2**63:
-            # int64 accumulation cannot wrap below the dot bound; keep
-            # the exact integer matrix (ADVICE r4: the old float64
-            # cast-back rounded dots past 2^53) and screen on a float
-            # copy — its <=2^-52 relative cast error is absorbed by the
-            # screen's 1e-9 slack before the big-int re-verify
-            Ai, Bi = A.astype(np.int64), B.astype(np.int64)
-            D_exact = Ai @ Bi.T
-            D_screen = D_exact.astype(np.float64)
-            n2a = (Ai * Ai).sum(axis=1)
-            n2b = (Bi * Bi).sum(axis=1)
-        else:
+        if dot_bound >= 2**63:
             raise ValueError(
                 f"int_cosine_tile_pairs: max weight {max_val} with dim "
                 f"{dim} puts the dot bound at {dot_bound} >= 2^63 — the "
-                "int64 tile matmul would wrap silently. Rescale the "
+                "int64 dot accumulation would wrap silently. Rescale the "
                 "integer weights or use the weighted-prefix join."
             )
-        # float screen with relative slack, then big-int re-verify
+        # exact int64 norms from the sparse rows (bounded by dot_bound)
+        n2 = np.array(
+            [int((v * v).sum()) if v.size else 0 for v in val_rows],
+            dtype=np.int64,
+        )
+        n2a, n2b = n2[a_sel], n2[b_sel]
+        # ONE float32 SGEMM per tile: the screen (half the bytes and
+        # ~2x the FLOP rate of the old float64 pair, and the old
+        # second full matmul for shared counts is gone entirely)
+        D = (mat[a_sel] @ mat[b_sel].T).astype(np.float64)
         screen = (
-            den * D_screen * D_screen
+            den * D * D
             >= (num * np.outer(n2a.astype(np.float64),
-                               n2b.astype(np.float64))) * (1.0 - 1e-9)
+                               n2b.astype(np.float64))) * (1.0 - slack)
         )
         if gi == gj:
             screen &= ids[:, None] < ids[None, :]
-        Sh = ((A > 0).astype(np.float64) @ (B > 0).astype(np.float64).T)
         ai, bi = np.nonzero(screen)
         rows = []
         for i, j in zip(ai.tolist(), bi.tolist()):
-            dot, na2, nb2 = int(D_exact[i, j]), int(n2a[i]), int(n2b[j])
+            ra, rb = a_sel[i], b_sel[j]
+            # exact sparse merge-dot (idx arrays are distinct per row)
+            common, ia, ib = np.intersect1d(
+                idx_rows[ra], idx_rows[rb],
+                assume_unique=True, return_indices=True,
+            )
+            dot = int((val_rows[ra][ia] * val_rows[rb][ib]).sum())
+            na2, nb2 = int(n2a[i]), int(n2b[j])
             if den * dot * dot >= num * na2 * nb2:
-                a, b = int(ids[a_sel[i]]), int(ids[b_sel[j]])
+                a, b = int(ids[ra]), int(ids[rb])
                 if a > b:
                     a, b = b, a
                 rows.append(
-                    (a, b, int(Sh[i, j]), dot,
+                    (a, b, int(common.size), dot,
                      (1000 * dot * dot) // (na2 * nb2))
                 )
         return pd.DataFrame(rows, columns=out_cols)

@@ -40,6 +40,31 @@ def _words(col: str = "text") -> Column:
     return F.split(F.col(col), " ")
 
 
+def _widen_docs(docs: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Repartition a narrow documents scan before CPU-dense per-row
+    work (tokenize/md5/gram builds), mirroring the pipeline's
+    ``operators/signatures._widen_if_narrow``.
+
+    The driver testdata ships one parquet file with ONE row group per
+    table, so every expression fused into the scan stage runs on 1-2
+    tasks regardless of core count — at sf1.0 the 13-gram build spent
+    its whole wall there (guide §2.5 input skew: "one huge unsplittable
+    file... repartition immediately after the read"). One small shuffle
+    of (doc_id, text) buys full-width map stages, and hash-partitioning
+    by doc_id lets downstream per-doc aggregations reuse the exchange.
+    At real scale the source has more files than cores and this is a
+    metadata-only no-op."""
+    spark = docs.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    try:
+        n_files = len(docs.inputFiles())
+    except Exception:  # noqa: BLE001 - conservative: widen unknown sources
+        n_files = 0
+    if n_files < par:
+        return docs.repartition(par * 2, key)
+    return docs
+
+
 def _ngrams_expr(w: Column, n: int) -> Column:
     """ORDERED word-n-gram strings; docs shorter than n words collapse
     to one padded gram (missing positions coalesce to '' — matches the
@@ -126,7 +151,7 @@ def _capped_shingle_table(docs: DataFrame, checkpoint: bool = True) -> DataFrame
     assertions; the default lazily materializes twice (pre-cap, so the
     explode runs once for the hot-agg and the anti-join; post-cap, so
     sizes and both self-join sides reuse one result)."""
-    sh = docs.select("doc_id", _words().alias("w")).select(
+    sh = _widen_docs(docs).select("doc_id", _words().alias("w")).select(
         "doc_id", F.explode(_shingles_expr(F.col("w"))).alias("shingle")
     )
     if checkpoint:
@@ -638,10 +663,16 @@ def _grams13_arrays(docs: DataFrame, *extra_cols: str) -> DataFrame:
     Spark-side 13-gram builder (duplicate-coverage + decontamination
     both derive from it, so the construction cannot silently
     desynchronize between the two ops or from the SQL fragment)."""
-    return docs.select("doc_id", *extra_cols, _words().alias("w")).select(
-        "doc_id",
-        *extra_cols,
-        F.array_distinct(_ngrams_expr(F.col("w"), _COVERAGE_N)).alias("grams"),
+    return (
+        _widen_docs(docs)
+        .select("doc_id", *extra_cols, _words().alias("w"))
+        .select(
+            "doc_id",
+            *extra_cols,
+            F.array_distinct(
+                _ngrams_expr(F.col("w"), _COVERAGE_N)
+            ).alias("grams"),
+        )
     )
 
 
@@ -1295,7 +1326,7 @@ def _winnow_fps(docs: DataFrame) -> DataFrame:
     # materialize the split AND the gram-hash arrays as real columns:
     # Catalyst does not CSE inside HOF lambdas, so inline forms
     # re-evaluate the whole upstream expression per window position
-    staged = docs.select("doc_id", _words().alias("w")).select(
+    staged = _widen_docs(docs).select("doc_id", _words().alias("w")).select(
         "doc_id",
         F.transform(
             _grams_expr(F.col("w")),
@@ -1396,7 +1427,7 @@ def q_minhash_band_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame
     not as the at-scale kernel."""
     B, R = _MINHASH_PORTABLE_BANDS, _MINHASH_PORTABLE_ROWS
     docs = load_table(spark, sf_dir, "documents")
-    staged = docs.select("doc_id", _words().alias("w")).select(
+    staged = _widen_docs(docs).select("doc_id", _words().alias("w")).select(
         "doc_id", _shingles_expr(F.col("w")).alias("sh")
     )
 
@@ -1804,7 +1835,7 @@ def q_unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back."""
     docs = load_table(spark, sf_dir, "documents")
     tf = (
-        docs.select("doc_id", F.explode(_words()).alias("tok"))
+        _widen_docs(docs).select("doc_id", F.explode(_words()).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("tf"))
     )
@@ -1909,7 +1940,7 @@ def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     no cartesian, no window over the corpus, no Python."""
     docs = load_table(spark, sf_dir, "documents")
     tf = (
-        docs.select("doc_id", F.explode(_words()).alias("tok"))
+        _widen_docs(docs).select("doc_id", F.explode(_words()).alias("tok"))
         .filter(F.col("tok") != "")
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("tf"))
@@ -2041,7 +2072,7 @@ def q_tfidf_cosine_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs."""
     docs = load_table(spark, sf_dir, "documents")
     tf = (
-        docs.select("doc_id", F.explode(_words()).alias("tok"))
+        _widen_docs(docs).select("doc_id", F.explode(_words()).alias("tok"))
         .filter(F.col("tok") != "")
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("tf"))
@@ -2179,7 +2210,7 @@ def q_tfidf_cosine_dense_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     tf = (
-        docs.select("doc_id", F.explode(_words()).alias("tok"))
+        _widen_docs(docs).select("doc_id", F.explode(_words()).alias("tok"))
         .filter(F.col("tok") != "")
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("tf"))
@@ -2277,7 +2308,7 @@ def tfidf_dispatch_choice(
         F.lit(0),
     ).cast("long")
     n_weighted_vocab = (
-        docs.select("doc_id", F.explode(_words()).alias("tok"))
+        _widen_docs(docs).select("doc_id", F.explode(_words()).alias("tok"))
         .filter(F.col("tok") != "")
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("tf"))
@@ -3123,7 +3154,7 @@ def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword lists, hot-shingle caps, and tokenizer sanity checks.
     Deterministic top-k: ordered by (df DESC, total DESC, term)."""
     docs = load_table(spark, sf_dir, "documents")
-    occ = docs.select("doc_id", F.explode(_words()).alias("term"))
+    occ = _widen_docs(docs).select("doc_id", F.explode(_words()).alias("term"))
     per_doc = occ.groupBy("term", "doc_id").agg(F.count("*").alias("c"))
     stats = per_doc.groupBy("term").agg(
         F.count("*").alias("df"), F.sum("c").alias("total")
@@ -3161,7 +3192,7 @@ def q_top_terms_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over per-doc term counts — the per-group top-k shape with a
     corpus-level broadcast side (df table is |vocab| rows)."""
     docs = load_table(spark, sf_dir, "documents")
-    occ = docs.select("doc_id", F.explode(_words()).alias("term"))
+    occ = _widen_docs(docs).select("doc_id", F.explode(_words()).alias("term"))
     tf = occ.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     df_tbl = tf.groupBy("term").agg(F.count("*").alias("df"))
     # no broadcast hint: the df table is |vocabulary| rows — unbounded at
@@ -3296,14 +3327,26 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ANN correctness baseline; the LSH-bucketed variant is the scale
     path (Spark-only query)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # norms are computed ONCE PER ROW before the join (the same fold
+    # expression, so the float value is bit-identical) instead of once
+    # per (query, neighbor) pair — the fold over the embedding array is
+    # the expensive part and the neighbor side used to re-fold it per
+    # query (guide §1.2 "don't compute things you throw away")
     q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("qn"),
     )
-    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
+    # widen the neighbor side: the 200k-pair dot folds run in the scan
+    # stage after the broadcast join, and the single-row-group testdata
+    # scan would serialize them on one task
+    c = _widen_docs(emb, key="vec_id").select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ne"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("nn"),
+    )
     pairs = F.broadcast(q).crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
-    cos = _dot(F.col("qe"), F.col("ne")) / (
-        F.sqrt(_dot(F.col("qe"), F.col("qe"))) * F.sqrt(_dot(F.col("ne"), F.col("ne")))
-    )
+    cos = _dot(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("nn"))
     ranked = pairs.withColumn("cos", cos).withColumn(
         "rank",
         F.row_number().over(
@@ -3967,14 +4010,26 @@ def _portable_simhash(docs: DataFrame) -> DataFrame:
     hash; this is the cross-engine-checkable formulation of the same
     operator, fully JVM-side (no Python UDF).
     """
-    toks = docs.select(
-        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
-    ).select("doc_id", F.md5(F.col("tok")).alias("h"))
-    # parse the digest with TWO 8-hex-digit conv calls (the string ops
-    # are the expensive part — 2 per token instead of the earlier 16
-    # per-nibble convs); bit extraction is then pure long arithmetic
-    halves = toks.select(
+    # pre-aggregate to DISTINCT (doc_id, token) with occurrence counts
+    # BEFORE hashing: the md5 + conv string work (the expensive part)
+    # then runs once per distinct pair instead of once per occurrence
+    # (guide §2.3 "aggregate before you shuffle" — the bit sums become
+    # count-weighted sums, exact integer arithmetic, bit-identical
+    # output; measured 2.3x fewer hashed rows at sf1.0). The pair agg
+    # keys are uniform, so this holds at any corpus scale.
+    cnts = (
+        _widen_docs(docs)
+        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("h", F.md5(F.col("tok")))
+    )
+    # parse the digest with TWO 8-hex-digit conv calls (2 per distinct
+    # token instead of the earlier 16 per-nibble convs); bit extraction
+    # is then pure long arithmetic
+    halves = cnts.select(
         "doc_id",
+        "cnt",
         F.conv(F.substring(F.col("h"), 1, 8), 16, 10)
         .cast("long")
         .alias("hi"),
@@ -3986,8 +4041,8 @@ def _portable_simhash(docs: DataFrame) -> DataFrame:
     for j in range(64):
         src, sh = ("hi", 31 - j) if j < 32 else ("lo", 63 - j)
         bit = F.shiftright(F.col(src), sh).bitwiseAND(F.lit(1))
-        aggs.append(F.sum(bit).alias(f"b{j}"))
-    sums = halves.groupBy("doc_id").agg(F.count("*").alias("n"), *aggs)
+        aggs.append(F.sum(bit * F.col("cnt")).alias(f"b{j}"))
+    sums = halves.groupBy("doc_id").agg(F.sum("cnt").alias("n"), *aggs)
     sim = F.lit(0).cast("long")
     for j in range(64):
         bit = (F.col(f"b{j}") * 2 > F.col("n")).cast("long")

@@ -61,6 +61,30 @@ def get_spark(
         # local[8] on the x64 bench workload.)
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # InferFiltersFromGenerate turns every explode(column) into an
+        # inferred `size(col) > 0 AND isnotnull(col)` filter, and
+        # predicate pushdown then INLINES the column's full defining
+        # expression (split/transform/md5 chains here) into a Filter
+        # evaluated below the first exchange — the generator expression
+        # runs up to 3x, on the narrow pre-shuffle side (guide §7.2
+        # "duplicated subtrees"). Measured on the 13-gram build at
+        # sf1.0: 20.8 s -> 7.3 s from this exclusion alone. The rule
+        # only prunes empty arrays before a Generate; correctness is
+        # unaffected, and none of this repo's exploded arrays are
+        # empty-heavy (grams/shingles/bands are >= 1 element by
+        # construction).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
+        # floor the SCAN parallelism at the session's shuffle width:
+        # single-file local testdata otherwise plans 1-2 map tasks and
+        # serializes every fused per-row stage (guide §6 input split
+        # sizing). On a real cluster inputs have >> cores splits and
+        # this floor is inert; it is a floor, not a split-size
+        # override, so large sequential scans keep their natural
+        # split size.
+        .config("spark.sql.files.minPartitionNum", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
