@@ -88,16 +88,22 @@ def _doc_toks(indexed: DataFrame) -> DataFrame:
     )
 
 
-def _slice_prefixes(per_doc: DataFrame, threshold: float) -> DataFrame:
-    """(doc_id, shingle) keeping each doc's rarest
+def _slice_prefixes(per_doc: DataFrame, threshold: float,
+                    with_size: bool = False) -> DataFrame:
+    """(doc_id, shingle[, n]) keeping each doc's rarest
     ``n - ceil(threshold*n) + 1`` shingles from a ``_doc_toks`` table.
-    threshold=0.0 keeps everything (the exact scheme)."""
+    threshold=0.0 keeps everything (the exact scheme). ``with_size``
+    rides the doc's set size on every prefix row so join-time filters
+    (length ratio, probe-side asymmetry) run map-side on the join
+    output instead of as two extra post-distinct joins."""
     p = _prefix_len(F.size("toks"), threshold)
+    size_cols = [F.size("toks").alias("n")] if with_size else []
     return per_doc.select(
         "doc_id",
         F.explode(
             F.transform(F.slice("toks", F.lit(1), p), lambda s: s["shingle"])
         ).alias("shingle"),
+        *size_cols,
     )
 
 
@@ -116,43 +122,56 @@ def prefix_candidates(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     pipeline's sha256 pre-pass), mirroring the LSH path.
     """
     indexed = shingle_index(signatures)
-    # both legs and the sizes scan reuse the exploded index; a self-join
-    # additionally scans its build twice
-    indexed = indexed.localCheckpoint(eager=False)
-    # the sorted per-doc token array is built once and sliced per leg;
-    # sizes come from the same table (array length), not a second scan
+    # every downstream consumer (both legs' prefixes AND the full sized
+    # index) derives from the sorted per-doc token table, so that is
+    # the one materialization; set sizes ride the prefix/index rows
+    # themselves (one extra int per row), so both legs' pruning filters
+    # run map-side on the join output BEFORE the distinct — the old
+    # shape distinct'ed the raw join fan-out first and then re-joined
+    # sizes twice
     toks = _doc_toks(indexed).localCheckpoint(eager=False)
-    sizes = toks.select("doc_id", F.size("toks").alias("n"))
 
-    # --- Jaccard leg: prefix vs prefix, then PPJoin length filter ----
-    jp = _slice_prefixes(toks, cfg.jaccard_threshold)
+    # --- Jaccard leg: prefix vs prefix with the PPJoin length filter
+    # applied inside the join (a J >= t pair satisfies
+    # min(|A|,|B|) >= t * max(|A|,|B|), so filtering the raw join rows
+    # can only drop non-qualifying pairs) ----------------------------
+    jp = _slice_prefixes(toks, cfg.jaccard_threshold, with_size=True)
     jp = jp.localCheckpoint(eager=False)
     jac = (
         jp.alias("a")
         .join(jp.alias("b"), on="shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.least("a.n", "b.n")
+                >= F.lit(float(cfg.jaccard_threshold))
+                * F.greatest("a.n", "b.n")
+                - F.lit(1e-9)
+            )
+        )
         .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
         .distinct()
     )
-    jac = (
-        jac.join(sizes.select(F.col("doc_id").alias("src"),
-                              F.col("n").alias("n_src")), on="src")
-        .join(sizes.select(F.col("doc_id").alias("dst"),
-                           F.col("n").alias("n_dst")), on="dst")
-        .filter(
-            F.least("n_src", "n_dst")
-            >= F.lit(float(cfg.jaccard_threshold)) * F.greatest("n_src", "n_dst")
-            - F.lit(1e-9)
-        )
-        .select("src", "dst")
-    )
 
-    # --- containment leg: containment prefix vs FULL inverted index --
-    cp = _slice_prefixes(toks, cfg.containment_threshold)
+    # --- containment leg: containment prefix vs FULL inverted index,
+    # SMALL side probing only — for a pair with |A∩B| >= t_c*min the
+    # pigeonhole applies to the smaller side's prefix alone (module
+    # docstring: "the large side's probe only adds candidates"), so
+    # probe rows with a strictly larger prefix side are dropped
+    # map-side (halves the leg's fan-out; ties keep both orders) ------
+    cp = _slice_prefixes(toks, cfg.containment_threshold, with_size=True)
+    # the full index WITH sizes is just the per-doc token table
+    # re-exploded (threshold 0 keeps every shingle) — no sizes join
+    idx_sized = _slice_prefixes(toks, 0.0, with_size=True).withColumnRenamed(
+        "n", "n_x"
+    )
     cont = (
         cp.alias("p")
-        .join(indexed.select("doc_id", "shingle").alias("x"), on="shingle")
-        .filter(F.col("p.doc_id") != F.col("x.doc_id"))
+        .join(idx_sized.alias("x"), on="shingle")
+        .filter(
+            (F.col("p.doc_id") != F.col("x.doc_id"))
+            & (F.col("p.n") <= F.col("x.n_x"))
+        )
         .select(
             F.least("p.doc_id", "x.doc_id").alias("src"),
             F.greatest("p.doc_id", "x.doc_id").alias("dst"),

@@ -202,10 +202,10 @@ def int_cosine_tile_pairs(
 
     # screen slack: worst-case relative error of the float32 SGEMM dot
     # is ~1.01 * dim * 2^-24 (sequential accumulation + input rounding
-    # of weights past 2^24); squaring doubles it, the norm product in
-    # float64 adds <= a few 2^-53. dim * 2^-22 is >= ~8x that bound, so
-    # the screen can only pass EXTRA near-boundary pairs to the exact
-    # re-verify, never reject a qualifying one.
+    # of weights past 2^24); the sqrt-threshold side adds a few 2^-24
+    # (sqrt + two multiplies in float32). dim * 2^-22 is >= ~8x that
+    # bound, so the screen can only pass EXTRA near-boundary pairs to
+    # the exact re-verify, never reject a qualifying one.
     slack = max(1e-9, float(dim) * 2.0**-22)
 
     def _densify32(pdf: pd.DataFrame) -> np.ndarray:
@@ -247,18 +247,23 @@ def int_cosine_tile_pairs(
             dtype=np.int64,
         )
         n2a, n2b = n2[a_sel], n2[b_sel]
-        # ONE float32 SGEMM per tile: the screen (half the bytes and
-        # ~2x the FLOP rate of the old float64 pair, and the old
-        # second full matmul for shared counts is gone entirely)
-        D = (mat[a_sel] @ mat[b_sel].T).astype(np.float64)
-        screen = (
-            den * D * D
-            >= (num * np.outer(n2a.astype(np.float64),
-                               n2b.astype(np.float64))) * (1.0 - slack)
-        )
+        # ONE float32 SGEMM per tile, and the screen is a single
+        # float32 compare against a rank-1 threshold matrix:
+        # den*dot^2 >= num*n2a*n2b  <=>  dot >= sqrt(num/den)
+        # * sqrt(n2a) * sqrt(n2b) (both sides nonnegative), so instead
+        # of casting D to float64 and materializing D^2 plus a float64
+        # outer product (~5 full passes over the tile, the measured
+        # wall of the round-5 kernel), precompute the two sqrt vectors
+        # with the slack folded in and touch the tile twice (threshold
+        # product + compare).
+        D = mat[a_sel] @ mat[b_sel].T
+        root = np.float32(np.sqrt(num / den) * (1.0 - slack))
+        sa = (np.sqrt(n2a.astype(np.float64)) * root).astype(np.float32)
+        sb = np.sqrt(n2b.astype(np.float64)).astype(np.float32)
+        ai, bi = np.nonzero(D >= sa[:, None] * sb[None, :])
         if gi == gj:
-            screen &= ids[:, None] < ids[None, :]
-        ai, bi = np.nonzero(screen)
+            keep = ids[ai] < ids[bi]
+            ai, bi = ai[keep], bi[keep]
         rows = []
         for i, j in zip(ai.tolist(), bi.tolist()):
             ra, rb = a_sel[i], b_sel[j]

@@ -2254,12 +2254,18 @@ def q_tfidf_cosine_dense_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e.w").alias("ws"),
         )
     )
+    # block count scales with the corpus so tile rows stay ~3k and the
+    # B(B+1)/2 tasks oversubscribe the cores (36 tiles on 32 cores
+    # left 2-3-tile stragglers on the hash-collided partitions at
+    # sf1.0); output is partition-invariant, so the oracle is
+    # unaffected
+    n_blocks = min(64, max(8, -(-n_docs // 3072)))
     return int_cosine_tile_pairs(
         sparse,
         dim=len(vocab_rows),
         cos2_num=_TFIDF_COS2_NUM,
         cos2_den=_TFIDF_COS2_DEN,
-        n_blocks=8,
+        n_blocks=n_blocks,
     )
 
 
