@@ -418,19 +418,7 @@ def _forest_edges_tiles(src: DataFrame, radius: int, n_sk: int) -> DataFrame:
             return pd.DataFrame(columns=["sk_a", "sk_b"])
         ai = np.concatenate(ai_all)
         bi = np.concatenate(bi_all)
-        # vectorized min-label propagation with pointer jumping
-        lab = np.arange(len(nodes), dtype=np.int64)
-        while True:
-            before = lab.copy()
-            np.minimum.at(lab, ai, lab[bi])
-            np.minimum.at(lab, bi, lab[ai])
-            while True:
-                jumped = lab[lab]
-                if np.array_equal(jumped, lab):
-                    break
-                lab = jumped
-            if np.array_equal(lab, before):
-                break
+        lab = _np_min_label_components(nodes, ai, bi, np)
         member = np.nonzero(lab != np.arange(len(nodes)))[0]
         xa, xb = nodes[lab[member]], nodes[member]
         return pd.DataFrame(
@@ -440,6 +428,68 @@ def _forest_edges_tiles(src: DataFrame, radius: int, n_sk: int) -> DataFrame:
     return rep.groupBy("_gi", "_gj").applyInPandas(
         tile, "sk_a long, sk_b long"
     )
+
+
+def _np_min_label_components(nodes, ai, bi, np):
+    """Vectorized min-label propagation with pointer jumping over edge
+    index arrays; returns the component-min index per node. Shared by
+    the per-tile forest kernel and the global forest contraction."""
+    lab = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        before = lab.copy()
+        np.minimum.at(lab, ai, lab[bi])
+        np.minimum.at(lab, bi, lab[ai])
+        while True:
+            jumped = lab[lab]
+            if np.array_equal(jumped, lab):
+                break
+            lab = jumped
+        if np.array_equal(lab, before):
+            break
+    return lab
+
+
+def _contract_forest(forest: DataFrame) -> DataFrame:
+    """Collapse the union of per-tile spanning forests to ONE star per
+    connected component (root = component-min sketch value): a single
+    bounded reduce, so a downstream distributed CC converges in O(1)
+    rounds instead of O(cross-tile chain depth).
+
+    Boundedness: the input is the tile forests — at most
+    ``sum_tiles (nodes_in_tile - 1) <= 2 * n_blocks * S`` edges of two
+    longs, and the tile dispatch caps S at ``TILE_MAX_SKETCHES``, so
+    the single task tops out at a few hundred MB even at the dispatch
+    boundary (12 MB at the sf1.0 bench). This is the same
+    bounded-single-pass reasoning as the guarded driver collects, run
+    executor-side; beyond the cap the pigeonhole path never reaches
+    this operator."""
+    import numpy as np
+    import pandas as pd
+
+    def run(batches):
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if not chunks:
+            yield pd.DataFrame(columns=["sk_a", "sk_b"])
+            return
+        a = np.concatenate([c["sk_a"].to_numpy(dtype=np.int64)
+                            for c in chunks])
+        b = np.concatenate([c["sk_b"].to_numpy(dtype=np.int64)
+                            for c in chunks])
+        nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+        ai, bi = inv[: len(a)], inv[len(a):]
+        lab = _np_min_label_components(nodes, ai, bi, np)
+        member = np.nonzero(lab != np.arange(len(nodes)))[0]
+        # np.unique sorts ascending, so the min label index IS the min
+        # signed sketch value: sk_a < sk_b holds by construction
+        yield pd.DataFrame(
+            {"sk_a": nodes[lab[member]], "sk_b": nodes[member]}
+        )
+
+    # repartition (NOT coalesce): coalesce(1) would propagate the
+    # single-partition constraint upstream and serialize the tile
+    # stage itself; the exchange keeps tiles parallel and moves only
+    # the forest rows
+    return forest.repartition(1).mapInPandas(run, "sk_a long, sk_b long")
 
 
 def _close_sketch_pairs(
@@ -500,7 +550,7 @@ def _close_sketch_pairs(
         and n_sk <= TILE_MAX_SKETCHES
     ):
         if forest:
-            return _forest_edges_tiles(src, radius, n_sk)
+            return _contract_forest(_forest_edges_tiles(src, radius, n_sk))
         return _close_pairs_tiles(src, radius, n_sk)
     keys = sketch_keys(src, radius, n_agree=n_agree, sketch_col="sketch",
                        n_sketches=n_sk)

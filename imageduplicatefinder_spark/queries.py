@@ -2416,7 +2416,7 @@ def q_delta_dedup_new_vs_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     side streams, and nothing is collected. At a real deployment the
     base sides are the dedup index checkpoints, read pre-bucketed."""
     docs = load_table(spark, sf_dir, "documents")
-    keyed = docs.select(
+    keyed = _widen_docs(docs).select(
         "doc_id",
         F.sha2(F.col("text"), 256).alias("h"),
         _token_set_hash().alias("sh"),
@@ -2479,7 +2479,8 @@ def q_source_mirror_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     repos². Everything after is plain keyed aggregation."""
     docs = load_table(spark, sf_dir, "documents")
     classes = (
-        docs.select("source", _token_set_hash().alias("sh")).distinct()
+        _widen_docs(docs).select("source", _token_set_hash().alias("sh"))
+        .distinct()
     )
     disc = (
         classes.groupBy("sh")
@@ -2570,7 +2571,9 @@ def q_cross_source_dup_ownership(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed join re-attaches owners and a final per-source aggregate
     reduces to repo grain."""
     docs = load_table(spark, sf_dir, "documents")
-    keyed = docs.select("doc_id", "source", _token_set_hash().alias("sh"))
+    keyed = _widen_docs(docs).select(
+        "doc_id", "source", _token_set_hash().alias("sh")
+    )
     owners = keyed.groupBy("sh").agg(
         F.min(F.struct("doc_id", "source")).alias("own")
     )
@@ -2655,7 +2658,8 @@ def q_code_clone_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate state is O(1) per group either way."""
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select("doc_id", F.md5(_clone_canonical()).alias("canon_hash"))
+        _widen_docs(docs)
+        .select("doc_id", F.md5(_clone_canonical()).alias("canon_hash"))
         .groupBy("canon_hash")
         .agg(
             F.count("*").cast("long").alias("n_members"),
@@ -2703,7 +2707,7 @@ def q_type2_clone_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     same output) — kept SQL-expressible here so the operator stays
     inside the cross-engine oracle gate."""
     docs = load_table(spark, sf_dir, "documents")
-    staged = docs.select(
+    staged = _widen_docs(docs).select(
         "doc_id", F.split(_clone_canonical(), " ").alias("w")
     )
     pattern = F.transform(
@@ -4248,7 +4252,7 @@ def q_dedup_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    keyed = docs.select(
+    keyed = _widen_docs(docs).select(
         "doc_id",
         F.sha2(F.col("text"), 256).alias("h"),
         _token_set_hash().alias("sh"),
