@@ -150,7 +150,6 @@ def prefix_candidates(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
             )
         )
         .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
-        .distinct()
     )
 
     # --- containment leg: containment prefix vs FULL inverted index,
@@ -176,9 +175,12 @@ def prefix_candidates(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
             F.least("p.doc_id", "x.doc_id").alias("src"),
             F.greatest("p.doc_id", "x.doc_id").alias("dst"),
         )
-        .distinct()
     )
 
+    # ONE distinct over the union instead of one per leg plus a final
+    # one: the hash aggregate's map-side partial dedup absorbs the raw
+    # join fan-out either way, so the per-leg exchanges of the
+    # almost-final pair sets (2 x ~46M rows at sf1.0) were pure cost
     return jac.union(cont).distinct()
 
 

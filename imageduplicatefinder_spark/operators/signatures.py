@@ -95,6 +95,7 @@ def compute_signatures(
     cfg: DedupConfig,
     langs: list[str] | None = None,
     keep_shingles: bool = True,
+    widen: bool = True,
 ) -> DataFrame:
     """documents(repo,path,commit,lang,content) -> signatures.
 
@@ -103,13 +104,17 @@ def compute_signatures(
     ``keep_shingles=False`` drops the shingle-set column for
     footprint-sensitive runs (verification then uses the MinHash
     Jaccard estimate instead of exact set intersection).
+    ``widen=False`` skips the narrow-scan repartition — pass it when
+    the input already crossed a shuffle (e.g. the pipeline's
+    rep-filter join), where the extra content exchange is pure cost.
     """
     df = documents
     if langs:
         df = df.filter(F.col("lang").isin(langs))
     df = add_doc_id(df)
 
-    df = _widen_if_narrow(df, documents)
+    if widen:
+        df = _widen_if_narrow(df, documents)
 
     fp = make_fingerprint_udf(cfg)
     df = df.select(

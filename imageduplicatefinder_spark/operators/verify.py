@@ -149,9 +149,24 @@ def _verify_pairs_vectorized(
         within = np.arange(total) - np.repeat(seg_starts, cnt)
         return flat[np.repeat(offs[idx], cnt) + within], seg
 
+    def _rebatch(batches, target=65536):
+        """Coalesce incoming Arrow batches (the session caps them at
+        4096 rows for wide-row UDFs) to ~64k-pair chunks so the
+        per-batch numpy fixed costs amortize."""
+        buf: list[pd.DataFrame] = []
+        held = 0
+        for pdf in batches:
+            buf.append(pdf)
+            held += len(pdf)
+            if held >= target:
+                yield pd.concat(buf, ignore_index=True)
+                buf, held = [], 0
+        if buf:
+            yield pd.concat(buf, ignore_index=True)
+
     def run(batches):
         ids_b, sims_b, flat_b, offs_b, lens_b, V = bc.value
-        for pdf in batches:
+        for pdf in _rebatch(batches):
             src = pdf["src"].to_numpy(dtype=np.int64)
             dst = pdf["dst"].to_numpy(dtype=np.int64)
             ai = np.searchsorted(ids_b, src)

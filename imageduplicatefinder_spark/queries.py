@@ -4258,10 +4258,15 @@ def q_dedup_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         _token_set_hash().alias("sh"),
     )
     # a sha class has identical text, hence one token-set hash: min is it
+    # (t1/t2 each feed two consumers — a tier count and the next tier —
+    # so they materialize lazily instead of re-running the double-hash
+    # scan per count)
     t1 = keyed.groupBy("h").agg(
         F.min("doc_id").alias("doc_id"), F.min("sh").alias("sh")
-    )
-    t2 = t1.groupBy("sh").agg(F.min("doc_id").alias("doc_id"))
+    ).localCheckpoint(eager=False)
+    t2 = t1.groupBy("sh").agg(
+        F.min("doc_id").alias("doc_id")
+    ).localCheckpoint(eager=False)
     pairs = q_ngram_jaccard_pairs(spark, sf_dir)
     surv = t2.select("doc_id")
     edges = (
