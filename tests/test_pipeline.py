@@ -133,6 +133,33 @@ def test_resume_different_corpus_recomputes(spark, corpus):
     assert res2.documents_hashed.count() == df2.count()
 
 
+def test_doc_id_collision_still_raises(spark, monkeypatch):
+    """The collision guard runs concurrently with the downstream stages
+    (guide §2.6 job overlap) but ``run`` must still raise before
+    returning. A real xxhash64 collision can't be synthesized from
+    data, so inject a degenerate hash (constant doc_id) and assert the
+    deferred check surfaces as RuntimeError."""
+    import imageduplicatefinder_spark.plans.pipeline as pl
+    from imageduplicatefinder_spark.operators.signatures import (
+        hash_documents,
+    )
+
+    def colliding_hash(documents, langs=None):
+        return hash_documents(documents, langs=langs).withColumn(
+            "doc_id", F.lit(1).cast("long")
+        )
+
+    monkeypatch.setattr(pl, "hash_documents", colliding_hash)
+    docs = spark.createDataFrame(
+        [("r", "a.py", "c1", "py", "alpha beta gamma delta " * 5),
+         ("r", "b.py", "c1", "py", "totally different words here " * 5)],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    with pytest.raises(RuntimeError, match="doc_id collision"):
+        DedupPipeline(spark, DedupConfig(),
+                      checkpoint_dir=tempfile.mkdtemp()).run(docs)
+
+
 def test_null_key_column_does_not_false_alarm_collision_guard(spark):
     """Null commit (a legitimately incomplete natural key) must not trip
     the doc_id collision check — count_distinct over bare columns skips
