@@ -45,12 +45,59 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: edge-count bound at or below which both CC implementations run as a
+#: SINGLE bounded driver pass (Arrow collect + the vectorized min-label
+#: + pointer-jumping kernel the tile forests already use) instead of
+#: iterative Spark rounds. Each distributed round costs a shuffle plus
+#: a convergence-check action — pure driver latency on the small, post-
+#: contraction graphs every consumer now feeds CC (component stars,
+#: verified rep-rep edges) — while 2M edges collect as ~32 MB of two
+#: int64 columns: the same guarded bounded-collect dispatch as
+#: TILE_MAX_SKETCHES and BROADCAST_VERIFY_MAX_SIGS, with the iterative
+#: path remaining the only scalable shape beyond the bound. Pass
+#: ``driver_max_edges=0`` to force the distributed rounds (the
+#: convergence/iteration contract tests do).
+CC_DRIVER_MAX_EDGES = 2_000_000
+
+
+def _driver_components(edges_small: DataFrame) -> DataFrame | None:
+    """One-pass exact components for a bounded edge set: nodes are the
+    distinct endpoint values (self-loops label themselves, matching the
+    distributed contract), labels are the exact min-label fixpoint, so
+    the output is row-identical to the iterative implementations.
+    Returns None when a null endpoint is present — null-edge semantics
+    stay on the distributed path, the same fall-through style as
+    ``_verify_pairs_vectorized``."""
+    import numpy as np
+
+    pdf = edges_small.toPandas()
+    if pdf.isnull().values.any():
+        return None
+    from imageduplicatefinder_spark.operators.hamming_lsh import (
+        _np_min_label_components,
+    )
+
+    spark = edges_small.sparkSession
+    schema = "doc_id long, cluster_id long"
+    if not len(pdf):
+        return spark.createDataFrame([], schema)
+    a = pdf["src"].to_numpy(dtype=np.int64)
+    b = pdf["dst"].to_numpy(dtype=np.int64)
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    lab = _np_min_label_components(nodes, inv[: len(a)], inv[len(a):], np)
+    import pandas as pd
+
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": nodes, "cluster_id": nodes[lab]}), schema
+    )
+
 
 def connected_components(
     edges: DataFrame,
     max_iterations: int = 50,
     on_nonconverged: str = "raise",
     check_every: int = 1,
+    driver_max_edges: int = CC_DRIVER_MAX_EDGES,
 ) -> DataFrame:
     """edges(src:long, dst:long) -> (doc_id:long, cluster_id:long).
 
@@ -74,14 +121,30 @@ def connected_components(
     extra rounds measured strictly slower than the saved job submits at
     every scale tried (module docstring). Raise it only for
     latency-bound workloads on tiny graphs.
+
+    At or below ``driver_max_edges`` edges (see ``CC_DRIVER_MAX_EDGES``)
+    the computation dispatches to one bounded driver pass with the
+    exact same output; the driver kernel computes the true fixpoint, so
+    ``max_iterations``/``on_nonconverged``/``check_every`` only govern
+    the distributed rounds beyond the bound (or when
+    ``driver_max_edges=0`` forces them).
     """
     if on_nonconverged not in ("raise", "warn"):
         raise ValueError(f"unknown on_nonconverged {on_nonconverged!r}")
     if check_every < 1:
         raise ValueError(f"check_every must be >= 1, got {check_every}")
-    sym = edges.select(
+    # bounded-size dispatch (CC_DRIVER_MAX_EDGES): the count runs over a
+    # lazily checkpointed edge frame so the (possibly expensive) edge
+    # lineage computes once and both the driver kernel and the
+    # distributed rounds read the materialized rows
+    e0 = edges.select("src", "dst").localCheckpoint(eager=False)
+    if driver_max_edges and e0.count() <= driver_max_edges:
+        out = _driver_components(e0)
+        if out is not None:
+            return out
+    sym = e0.select(
         F.col("src").alias("a"), F.col("dst").alias("b")
-    ).union(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+    ).union(e0.select(F.col("dst").alias("a"), F.col("src").alias("b")))
     sym = sym.localCheckpoint(eager=True)
 
     # init: every node's label = its own id (lazy — the first label_sum
@@ -185,6 +248,7 @@ def connected_components_star(
     edges: DataFrame,
     max_iterations: int = 50,
     on_nonconverged: str = "raise",
+    driver_max_edges: int = CC_DRIVER_MAX_EDGES,
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -218,6 +282,16 @@ def connected_components_star(
     """
     if on_nonconverged not in ("raise", "warn"):
         raise ValueError(f"unknown on_nonconverged {on_nonconverged!r}")
+    # bounded-size dispatch, identical to connected_components: on the
+    # raw edges (self-loops included — the driver kernel labels
+    # self-loop-only nodes as their own singletons, same as the
+    # distributed contract below)
+    e0 = edges.select("src", "dst").localCheckpoint(eager=False)
+    if driver_max_edges and e0.count() <= driver_max_edges:
+        out = _driver_components(e0)
+        if out is not None:
+            return out
+    edges = e0
     # every node mentioned in edges gets a label — contraction works on
     # self-loop-free canonical edges, but self-loop-only nodes must come
     # back as singletons (contract parity with connected_components and

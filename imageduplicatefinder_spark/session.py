@@ -87,7 +87,19 @@ def get_spark(
         .config("spark.sql.files.minPartitionNum", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # Arrow batch sizing (guide §4.2): the record cap exists to bound
+        # per-batch memory for WIDE rows, but it also throttles narrow
+        # ones — the verify kernel's (src,dst) pairs are 16 B/row, so a
+        # 4096-row cap made ~65 KB batches and the per-batch Python
+        # costs dominated (measured: the 45.6M-pair verify leg spent
+        # ~60% of its wall on the Arrow boundary). Spark 4's
+        # maxBytesPerBatch is the direct memory bound: cap bytes at
+        # 16 MB (wide rows stop there) and let narrow rows batch up to
+        # 64k records. Batch size never changes results — every kernel
+        # here is batch-split independent (the streaming oracle test
+        # pins that property explicitly).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", "16m")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

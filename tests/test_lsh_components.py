@@ -163,18 +163,49 @@ def test_cc_long_chain_converges(spark):
 
 def test_cc_raises_on_nonconvergence(spark):
     # a 12-node chain cannot converge in 2 rounds of min propagation
+    # (driver_max_edges=0 forces the distributed rounds whose iteration
+    # guard is under test — the driver kernel always reaches fixpoint)
     chain = [(i, i + 1) for i in range(12)]
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(_edges(spark, chain), max_iterations=2)
+        connected_components(_edges(spark, chain), max_iterations=2,
+                             driver_max_edges=0)
 
 
 def test_cc_warn_mode_returns_partial(spark):
     chain = [(i, i + 1) for i in range(12)]
     with pytest.warns(RuntimeWarning, match="did not converge"):
         rows = connected_components(
-            _edges(spark, chain), max_iterations=2, on_nonconverged="warn"
+            _edges(spark, chain), max_iterations=2, on_nonconverged="warn",
+            driver_max_edges=0,
         ).collect()
     assert len(rows) == 13
+
+
+def test_cc_driver_dispatch_matches_distributed(spark):
+    """The bounded driver kernel (default below CC_DRIVER_MAX_EDGES)
+    must be row-identical to the distributed rounds for BOTH
+    algorithms on chain / cycle / self-loop / random shapes."""
+    import random
+
+    from imageduplicatefinder_spark.operators.components import (
+        connected_components_star,
+    )
+
+    rng = random.Random(29)
+    shapes = [
+        [(i, i + 1) for i in range(15)],
+        [(i, (i + 1) % 8) for i in range(8)],
+        [(5, 5), (7, 8), (9, 9)],          # self-loops incl. loop-only
+        [(rng.randrange(50), rng.randrange(50)) for _ in range(80)],
+    ]
+    for es in shapes:
+        edges = _edges(spark, es)
+        for fn in (connected_components, connected_components_star):
+            fast = sorted((r.doc_id, r.cluster_id)
+                          for r in fn(edges).collect())
+            slow = sorted((r.doc_id, r.cluster_id)
+                          for r in fn(edges, driver_max_edges=0).collect())
+            assert fast == slow, (fn.__name__, es)
 
 
 def test_cc_check_every_parity(spark):
@@ -190,7 +221,7 @@ def test_cc_check_every_parity(spark):
         expected = None
         for k in (1, 3, 7):
             rows = connected_components(
-                _edges(spark, pairs), check_every=k
+                _edges(spark, pairs), check_every=k, driver_max_edges=0
             ).collect()
             got = sorted((r.doc_id, r.cluster_id) for r in rows)
             if expected is None:
@@ -201,7 +232,8 @@ def test_cc_check_every_parity(spark):
 def test_cc_check_every_restores_session_confs(spark):
     aqe = spark.conf.get("spark.sql.adaptive.enabled")
     parts = spark.conf.get("spark.sql.shuffle.partitions")
-    connected_components(_edges(spark, [(1, 2), (2, 3)]), check_every=2)
+    connected_components(_edges(spark, [(1, 2), (2, 3)]), check_every=2,
+                         driver_max_edges=0)
     assert spark.conf.get("spark.sql.adaptive.enabled") == aqe
     assert spark.conf.get("spark.sql.shuffle.partitions") == parts
 
@@ -290,9 +322,13 @@ def test_star_cc_matches_label_propagation(spark):
             [(a, b) for a, b in es if a != b], "src long, dst long"
         )
         want = {(r.doc_id, r.cluster_id)
-                for r in connected_components(edges, max_iterations=60).collect()}
+                for r in connected_components(
+                    edges, max_iterations=60, driver_max_edges=0
+                ).collect()}
         got = {(r.doc_id, r.cluster_id)
-               for r in connected_components_star(edges).collect()}
+               for r in connected_components_star(
+                   edges, driver_max_edges=0
+               ).collect()}
         assert got == want, name
 
 
@@ -311,8 +347,10 @@ def test_star_cc_deep_chain_logarithmic_rounds(spark):
         [(i, i + 1) for i in range(199)], "src long, dst long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iterations=20)
-    got = connected_components_star(edges, max_iterations=20).collect()
+        connected_components(edges, max_iterations=20, driver_max_edges=0)
+    got = connected_components_star(
+        edges, max_iterations=20, driver_max_edges=0
+    ).collect()
     assert len(got) == 200
     assert {r.cluster_id for r in got} == {0}
 
@@ -351,7 +389,8 @@ def test_star_cc_warn_mode_returns_partial(spark):
     )
     with pytest.warns(RuntimeWarning, match="did not converge"):
         rows = connected_components_star(
-            chain, max_iterations=1, on_nonconverged="warn"
+            chain, max_iterations=1, on_nonconverged="warn",
+            driver_max_edges=0,
         ).collect()
     assert len(rows) == 41  # partial labels still cover every node
 
