@@ -496,8 +496,17 @@ def ivf_topk(
         probes, f"{id_col} long, {vec_col} array<float>, list_id int"
     ).withColumnsRenamed({id_col: "query_id", vec_col: "qe"})
 
-    cand = q_lists.join(
-        listed.withColumnsRenamed({id_col: "neighbor_id", vec_col: "ne"}),
+    # norm folds run once per probe row / per listed row before the
+    # join (identical fold expression -> bit-identical value), not once
+    # per candidate pair — same fix as the catalog ANN queries
+    def _norm(col: str) -> F.Column:
+        return F.sqrt(F.aggregate(
+            F.transform(col, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0), lambda acc, x: acc + x))
+
+    cand = q_lists.withColumn("qn", _norm("qe")).join(
+        listed.withColumnsRenamed({id_col: "neighbor_id", vec_col: "ne"})
+        .withColumn("nn", _norm("ne")),
         on="list_id",
     ).filter(F.col("query_id") != F.col("neighbor_id"))
 
@@ -505,14 +514,8 @@ def ivf_topk(
         F.zip_with("qe", "ne", lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0), lambda acc, x: acc + x,
     )
-    nq = F.sqrt(F.aggregate(
-        F.transform("qe", lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x))
-    nn = F.sqrt(F.aggregate(
-        F.transform("ne", lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x))
     ranked = (
-        cand.withColumn("cos", F.try_divide(dot, nq * nn))
+        cand.withColumn("cos", F.try_divide(dot, F.col("qn") * F.col("nn")))
         .withColumn(
             "rank",
             F.row_number().over(

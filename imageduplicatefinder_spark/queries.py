@@ -504,6 +504,112 @@ WHERE floor(inter * 1000.0 / least(sa.n, sb.n)) >= 900
 """
 
 
+#: bitset-kernel guard for q_char_ngram_jaccard_pairs: total bitset
+#: size docs x vocab must stay under 2^31 bits (256 MB broadcast) —
+#: the same bounded-broadcast reasoning as BROADCAST_VERIFY_MAX_SIGS.
+#: At the driver's sf1.0 (50k docs x ~2k grams) this is ~13 MB.
+_CHAR_BITSET_MAX_BITS = 1 << 31
+
+
+def _char_pairs_bitset(spark: SparkSession, g: DataFrame) -> DataFrame | None:
+    """All-pairs char-gram Jaccard via broadcast bitsets — the bounded
+    exact kernel for q_char_ngram_jaccard_pairs (see its docstring
+    comment). Returns None past the ``_CHAR_BITSET_MAX_BITS`` guard;
+    the caller falls back to the prefix-filter join."""
+    import numpy as np
+
+    vocab_rows = g.select("gram").distinct()
+    n_docs_row = g.agg(
+        F.count_distinct("doc_id").alias("nd"),
+        F.count_distinct("gram").alias("nv"),
+    ).collect()[0]
+    n_docs, n_vocab = int(n_docs_row["nd"]), int(n_docs_row["nv"])
+    if n_docs == 0:
+        return None  # empty corpus: the join path returns empty anyway
+    if n_docs * n_vocab > _CHAR_BITSET_MAX_BITS:
+        return None
+    vocab = np.sort(
+        np.asarray([r[0] for r in vocab_rows.collect()], dtype="U")
+    )
+    n_words = (n_vocab + 63) // 64
+    sc = spark.sparkContext
+    bcv = sc.broadcast(vocab)
+
+    def to_bits(batches):
+        import pandas as pd
+
+        vv = bcv.value
+        for pdf in batches:
+            out_bits = []
+            for gs in pdf["gs"]:
+                idx = np.searchsorted(vv, np.asarray(list(gs), dtype=vv.dtype))
+                w = np.zeros(n_words, dtype=np.uint64)
+                np.bitwise_or.at(
+                    w, idx >> 6, np.uint64(1) << (idx & 63).astype(np.uint64)
+                )
+                out_bits.append(w.view(np.int64))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "bits": out_bits})
+
+    per_doc = g.groupBy("doc_id").agg(F.collect_list("gram").alias("gs"))
+    bdf = per_doc.mapInPandas(
+        to_bits, "doc_id long, bits array<long>"
+    ).toPandas()
+    ids = bdf["doc_id"].to_numpy(dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    mat = np.vstack([np.asarray(bdf["bits"][i], dtype=np.int64)
+                     for i in order]).view(np.uint64)
+    from imageduplicatefinder_spark.operators.verify import _popcount64_np
+
+    pops = _popcount64_np(mat).sum(axis=1).astype(np.int64)
+    bcm = sc.broadcast((ids, mat, pops))
+
+    def stripes(batches):
+        import pandas as pd
+
+        ids_b, mat_b, pops_b = bcm.value
+        n_all = len(ids_b)
+        for pdf in batches:
+            acc_a, acc_b, acc_j = [], [], []
+            for did in pdf["doc_id"].to_numpy(dtype=np.int64):
+                i = int(np.searchsorted(ids_b, did))
+                if i + 1 >= n_all:
+                    continue
+                # chunk the partner sweep to bound temporaries
+                for s in range(i + 1, n_all, 16384):
+                    e = min(s + 16384, n_all)
+                    inter = _popcount64_np(
+                        mat_b[i][None, :] & mat_b[s:e]
+                    ).sum(axis=1).astype(np.int64)
+                    union = pops_b[i] + pops_b[s:e] - inter
+                    jac = np.floor(inter * 1000.0 / union).astype(np.int64)
+                    m = jac >= 700
+                    if m.any():
+                        acc_a.append(np.full(int(m.sum()), did, np.int64))
+                        acc_b.append(ids_b[s:e][m])
+                        acc_j.append(jac[m])
+            if acc_a:
+                yield pd.DataFrame({
+                    "doc_a": np.concatenate(acc_a),
+                    "doc_b": np.concatenate(acc_b),
+                    "jaccard_milli": np.concatenate(acc_j),
+                })
+            else:
+                yield pd.DataFrame(
+                    {"doc_a": np.empty(0, np.int64),
+                     "doc_b": np.empty(0, np.int64),
+                     "jaccard_milli": np.empty(0, np.int64)}
+                )
+
+    par = sc.defaultParallelism
+    drive = spark.createDataFrame(
+        [(int(x),) for x in ids], "doc_id long"
+    ).repartition(par * 2)
+    return drive.mapInPandas(
+        stripes, "doc_a long, doc_b long, jaccard_milli long"
+    )
+
+
 def q_char_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-5-gram Jaccard pairs (>= 0.7) — the cross-engine pin
     for the ``tokenizer="char"`` dispatch branch (DedupConfig H4:
@@ -512,6 +618,36 @@ def q_char_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scale path is the identical MinHash/LSH machinery with
     ``DedupConfig(tokenizer="char")``. Docs shorter than 5 chars
     collapse to one truncated gram in both engines; NULL text drops."""
+    # The original full gram self-join measured 505 s at sf0.1 (fine at
+    # the sf0.01 oracle scale): char 5-grams over a small vocabulary
+    # are HOT everywhere — the corpus has only ~2k distinct grams, a
+    # boilerplate gram's df approaches the corpus size, and the join's
+    # Sum df^2 row enumeration is quadratic in df. This oracle has NO
+    # df cap, so hot keys cannot be dropped; two output-identical
+    # physical forms replace the join (same dispatch idiom as
+    # TILE_MAX_SKETCHES):
+    #
+    # 1. BITSET KERNEL (primary, `_char_pairs_bitset`): the tiny gram
+    #    vocabulary is exactly what makes the join blow up AND what
+    #    makes a V-bit set per doc small — |A∩B| is one AND+popcount
+    #    over ceil(V/64) words. All-pairs over broadcast bitsets,
+    #    striped across executors; guarded by `_CHAR_BITSET_MAX_BITS`
+    #    (docs x vocab <= 2^31 bits = 256 MB of bitsets). Exact: inter
+    #    is an integer popcount, and floor(inter*1000/union) under
+    #    float64 division provably equals the rational floor (the
+    #    quotient can't land within one ulp of an integer unless it IS
+    #    one: |q - N| >= 1/union >> ulp). Measured: 505 s -> 4.4 s at
+    #    sf0.1, output equal at sf0.001/0.01/0.1 by direct comparison
+    #    + the unchanged DuckDB oracle.
+    # 2. PREFIX FILTERING fallback (AllPairs, Bayardo et al. 2007 —
+    #    the q_ngram_jaccard_prefix_pairs shape) for corpora past the
+    #    bitset guard (large vocab x many docs): candidates from each
+    #    doc's rarest ~30% of grams (any pair with J >= 0.7 provably
+    #    shares a prefix gram under a fixed global (df, gram) order) +
+    #    exact re-verification. 505 s -> 124 s at sf0.1 — bounded by
+    #    this corpus's hot-vocab degeneracy (even the rarest grams
+    #    have df ~300), the documented prefix failure mode; on real
+    #    web-scale char vocabularies the prefixes prune normally.
     docs = load_table(spark, sf_dir, "documents")
     k = 5
     n = F.length("text")
@@ -521,22 +657,58 @@ def q_char_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.col("text").substr(i, F.lit(k)),
         )
     )
-    g = docs.select("doc_id", F.explode(grams).alias("gram"))
+    g = _widen_docs(docs).select("doc_id", F.explode(grams).alias("gram"))
+    # reused by the df table, sizes, the prefix build and BOTH
+    # verification joins — one materialization
+    g = g.localCheckpoint(eager=False)
+    fast = _char_pairs_bitset(spark, g)
+    if fast is not None:
+        return fast
     sizes = g.groupBy("doc_id").agg(F.count("*").alias("n"))
-    pairs = (
-        g.alias("a")
-        .join(g.alias("b"), on="gram")
+    df_tab = g.groupBy("gram").agg(F.count("*").alias("df"))
+    per_doc = (
+        g.join(df_tab, on="gram")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("df", "gram"))).alias("toks"))
+    )
+    nt = F.size("toks")
+    # prefix length |X| - ceil(0.7|X|) + 1 in EXACT integer arithmetic:
+    # ceil(7n/10) = floor((7n+9)/10)
+    p = (nt - F.floor((nt * 7 + F.lit(9)) / F.lit(10)) + F.lit(1)).cast("int")
+    prefix = per_doc.select(
+        "doc_id",
+        F.explode(
+            F.transform(F.slice("toks", F.lit(1), p), lambda s: s["gram"])
+        ).alias("gram"),
+    ).localCheckpoint(eager=False)  # both self-join sides reuse one build
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), on="gram")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
+        .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
-        .agg(F.count("*").alias("inter"))
+        .distinct()
     )
-    withs = (
-        pairs.join(sizes.select(F.col("doc_id").alias("doc_a"),
-                                F.col("n").alias("na")), on="doc_a")
+    # PPJoin length filter: J >= 7/10 forces |A∩B| >= (7/10)|A∪B| >=
+    # (7/10)max(|A|,|B|) and |A∩B| <= min(|A|,|B|), so any true pair
+    # has 10*min >= 7*max (integer math — provably no true pair lost)
+    cand = (
+        cand.join(sizes.select(F.col("doc_id").alias("doc_a"),
+                               F.col("n").alias("na")), on="doc_a")
         .join(sizes.select(F.col("doc_id").alias("doc_b"),
                            F.col("n").alias("nb")), on="doc_b")
+        .filter(F.least("na", "nb") * 10 >= F.greatest("na", "nb") * 7)
+    )
+    # exact verification over candidates only — intersection counted on
+    # the full gram table, same count the brute-force join produced
+    withs = (
+        cand.join(g.select(F.col("doc_id").alias("doc_a"), "gram"),
+                  on="doc_a")
+        .join(g.select(F.col("doc_id").alias("doc_b"), "gram"),
+              on=["doc_b", "gram"])
+        .groupBy("doc_a", "doc_b", "na", "nb")
+        .agg(F.count("*").alias("inter"))
     )
     jac = F.floor(
         F.col("inter") * 1000 / (F.col("na") + F.col("nb") - F.col("inter"))
@@ -4530,12 +4702,14 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         [b * F.lit(1 << i) for i, b in enumerate(sig_bits)], start=F.lit(0)
     )
     bucketed = emb.withColumn("bucket", bucket)
-    a = bucketed.select("bucket", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = bucketed.select("bucket", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    # norms once per row, not per in-bucket pair (bit-identical fold;
+    # see q_semdedup_keeper)
+    a = bucketed.select("bucket", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+                        ).withColumn("na", F.sqrt(_dot(F.col("ea"), F.col("ea"))))
+    b = bucketed.select("bucket", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+                        ).withColumn("nb", F.sqrt(_dot(F.col("eb"), F.col("eb"))))
     pairs = a.join(b, on="bucket").filter(F.col("vec_a") < F.col("vec_b"))
-    cos = _dot(F.col("ea"), F.col("eb")) / (
-        F.sqrt(_dot(F.col("ea"), F.col("ea"))) * F.sqrt(_dot(F.col("eb"), F.col("eb")))
-    )
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     rn = F.row_number().over(Window.partitionBy("vec_a").orderBy(F.desc("cos"), F.asc("vec_b")))
     return (
         pairs.withColumn("cos", cos)
@@ -4610,14 +4784,15 @@ def q_embedding_neardup_lsh_amplified(
     cands = hyperplane_lsh_pairs(
         emb, _amplified_tables(), max_bucket_size=None
     )
+    # norms once per row, not per candidate pair (bit-identical fold;
+    # see q_semdedup_keeper)
     ea = emb.select(F.col("vec_id").alias("vec_a"),
-                    F.col("embedding").alias("ea"))
+                    F.col("embedding").alias("ea")
+                    ).withColumn("na", F.sqrt(_dot(F.col("ea"), F.col("ea"))))
     eb = emb.select(F.col("vec_id").alias("vec_b"),
-                    F.col("embedding").alias("eb"))
-    cos = _dot(F.col("ea"), F.col("eb")) / (
-        F.sqrt(_dot(F.col("ea"), F.col("ea")))
-        * F.sqrt(_dot(F.col("eb"), F.col("eb")))
-    )
+                    F.col("embedding").alias("eb")
+                    ).withColumn("nb", F.sqrt(_dot(F.col("eb"), F.col("eb"))))
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
         cands.join(ea, on="vec_a")
         .join(eb, on="vec_b")
@@ -4830,16 +5005,19 @@ def q_semdedup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     assigned = _ivf_assigned(emb)
+    # norms fold ONCE PER ROW before the within-cell self-join (the
+    # identical fold expression over the identical array, so the float
+    # is bit-identical and every threshold decision is unchanged) —
+    # the per-pair form re-ran both norm folds on each of the ~1M
+    # within-cell pairs for 3.5x the stage wall (guide §1.2 "don't
+    # compute things you throw away"; same fix as ann_cosine_topk)
     a = assigned.select(
         "list_id", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
-    )
+    ).withColumn("na", F.sqrt(_dot(F.col("ea"), F.col("ea"))))
     b = assigned.select(
         "list_id", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
-    )
-    cos = _dot(F.col("ea"), F.col("eb")) / (
-        F.sqrt(_dot(F.col("ea"), F.col("ea")))
-        * F.sqrt(_dot(F.col("eb"), F.col("eb")))
-    )
+    ).withColumn("nb", F.sqrt(_dot(F.col("eb"), F.col("eb"))))
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     edges = (
         a.join(b, on="list_id")
         .filter(F.col("vec_a") < F.col("vec_b"))
@@ -4944,18 +5122,19 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("pr") <= 3)
         .select("query_id", "qe", "list_id")
     )
-    cand = probes.join(
+    # norms once per probe row / per assigned row, not per candidate
+    # (bit-identical fold; see q_semdedup_keeper)
+    cand = probes.withColumn(
+        "qn", F.sqrt(_dot(F.col("qe"), F.col("qe")))
+    ).join(
         assigned.select(
             "list_id",
             F.col("vec_id").alias("neighbor_id"),
             F.col("embedding").alias("ne"),
-        ),
+        ).withColumn("nn", F.sqrt(_dot(F.col("ne"), F.col("ne")))),
         on="list_id",
     ).filter(F.col("query_id") != F.col("neighbor_id"))
-    cos = _dot(F.col("qe"), F.col("ne")) / (
-        F.sqrt(_dot(F.col("qe"), F.col("qe")))
-        * F.sqrt(_dot(F.col("ne"), F.col("ne")))
-    )
+    cos = _dot(F.col("qe"), F.col("ne")) / (F.col("qn") * F.col("nn"))
     ranked = cand.withColumn("cos", cos).withColumn(
         "rank",
         F.row_number().over(

@@ -998,3 +998,55 @@ def test_semdedup_keeper_pinned_invariants(spark):
             assert r.keeper_id == r.vec_id
         else:
             assert r.keeper_id in keepers
+
+
+def test_char_ngram_bitset_and_prefix_paths_agree(spark, tmp_path):
+    """char_ngram_jaccard_pairs dispatches between a bounded bitset
+    kernel and a prefix-filter join (hot-vocab corpora make the
+    original full gram self-join quadratic in df); both physical forms
+    must be row-identical to each other and to the DuckDB oracle,
+    including short (<5 char), empty, unicode and NULL texts."""
+    import duckdb
+
+    import imageduplicatefinder_spark.queries as Q
+
+    base = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    rows = [
+        (1, base, "en", len(base)),
+        (2, base + " tail", "en", len(base) + 5),       # near-dup of 1
+        (3, "completely different words here entirely " * 4, "en", 160),
+        (4, "ab", "en", 2),                              # < 5 chars
+        (5, "", "en", 0),                                # empty
+        (6, "", "en", 0),                                # empty twin
+        (7, "héllo wörld ünïcode " * 10, "en", 200),
+        (8, None, "en", 0),                              # NULL drops
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    fast = sorted(
+        map(tuple,
+            Q.QUERIES["char_ngram_jaccard_pairs"](spark, str(tmp_path)).collect())
+    )
+    saved = Q._CHAR_BITSET_MAX_BITS
+    Q._CHAR_BITSET_MAX_BITS = 0  # force the prefix-join fallback
+    try:
+        slow = sorted(
+            map(tuple,
+                Q.QUERIES["char_ngram_jaccard_pairs"](spark, str(tmp_path)).collect())
+        )
+    finally:
+        Q._CHAR_BITSET_MAX_BITS = saved
+    assert fast == slow
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    oracle = sorted(map(tuple,
+                        con.sql(Q.ORACLES["char_ngram_jaccard_pairs"]).fetchall()))
+    assert fast == oracle
+    # the planted pair and the empty-text twins must be found
+    found = {(a, b) for a, b, _ in fast}
+    assert (1, 2) in found and (5, 6) in found
