@@ -110,26 +110,34 @@ def _verify_pairs_vectorized(
     n_sigs = signatures.count()
     if n_sigs > BROADCAST_VERIFY_MAX_SIGS:
         return None
-    rows = signatures.select("doc_id", "simhash", "shingles").collect()
-    if len(rows) != n_sigs:
+    # Arrow collect (toPandas): the row-collect path pickles every
+    # Row's shingle array through py4j — measured 1.15 s vs 0.2 s at
+    # 40k signatures, paid on every verify call
+    pdf_sigs = signatures.select("doc_id", "simhash", "shingles").toPandas()
+    if len(pdf_sigs) != n_sigs:
         return None
-    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    ids = pdf_sigs["doc_id"].to_numpy(dtype=np.int64)
     if np.unique(ids).size != ids.size:
         return None  # duplicate ids: join semantics would duplicate rows
-    if any(r[2] is None for r in rows):
+    if pdf_sigs["shingles"].isnull().any():
         return None  # NULL-shingle semantics live on the join path
     order = np.argsort(ids, kind="stable")
     ids = ids[order]
-    sims = np.array([rows[i][1] for i in order], dtype=np.int64)
-    sh_lists = [np.sort(np.asarray(rows[i][2], dtype=np.int64))
+    sims = pdf_sigs["simhash"].to_numpy(dtype=np.int64)[order]
+    sh_col = pdf_sigs["shingles"].to_numpy()
+    sh_lists = [np.sort(np.asarray(sh_col[i], dtype=np.int64))
                 for i in order]
     lens = np.array([len(s) for s in sh_lists], dtype=np.int64)
     offs = np.concatenate([[0], np.cumsum(lens)])
     flat = (np.concatenate(sh_lists) if len(sh_lists)
             else np.empty(0, dtype=np.int64))
-    # dense ranks keep the per-batch composite keys inside int64
+    # dense ranks keep the per-batch composite keys inside int64, and
+    # int32 storage halves the broadcast + the per-batch gather bytes
+    # (rank < vocab size; int64 kept in the no-real-corpus case of a
+    # vocab past 2^31 — the composite-key math upcasts either way)
     vocab = np.unique(flat)
-    flat = np.searchsorted(vocab, flat).astype(np.int64)
+    rank_t = np.int32 if vocab.size < (1 << 31) else np.int64
+    flat = np.searchsorted(vocab, flat).astype(rank_t)
     v_width = max(1, int(vocab.size))
 
     spark = pairs.sparkSession
