@@ -451,3 +451,46 @@ def test_use_simhash_verify_flag_activates_hamming_clause(spark):
         pairs, sigs, DedupConfig(use_simhash_verify=True)
     ).collect()[0]
     assert on.verified  # hamming 3 <= radius 10 satisfies the ref rule
+
+
+def test_verify_kernel_pad_csr_and_join_paths_agree(spark, monkeypatch):
+    """The vectorized verify kernel ships either a padded rank matrix
+    or the CSR (flat, offs) payload depending on _PAD_MATRIX_MAX_BYTES;
+    both must produce evidence frames identical to each other AND to
+    the shuffle-join fallback, including ragged set sizes and absent
+    doc ids."""
+    import random
+
+    import imageduplicatefinder_spark.operators.verify as V
+    from imageduplicatefinder_spark.config import DedupConfig
+
+    rng = random.Random(31)
+    sig_rows = []
+    for d in range(40):
+        n = rng.randrange(1, 12)
+        sig_rows.append(
+            (d, rng.getrandbits(63),
+             sorted(rng.sample(range(60), n)))
+        )
+    sigs = spark.createDataFrame(
+        sig_rows, "doc_id long, simhash long, shingles array<long>"
+    )
+    pair_rows = [(a, b) for a in range(40) for b in range(a + 1, 40)]
+    pair_rows.append((7, 999))  # absent id: dropped by the kernels,
+    # unmatched by the join — both yield no row
+    pairs = spark.createDataFrame(pair_rows, "src long, dst long")
+    cfg = DedupConfig()
+
+    def rows(df):
+        return sorted(
+            (r.src, r.dst, r.hamming, r.jaccard, r.containment, r.verified)
+            for r in df.collect()
+        )
+
+    pad = rows(V.verify_pairs(pairs, sigs, cfg))
+    monkeypatch.setattr(V, "_PAD_MATRIX_MAX_BYTES", 0)
+    csr = rows(V.verify_pairs(pairs, sigs, cfg))
+    monkeypatch.setattr(V, "BROADCAST_VERIFY_MAX_SIGS", 0)
+    join = rows(V.verify_pairs(pairs, sigs, cfg))
+    assert pad == csr == join
+    assert len(pad) == len(pair_rows) - 1
