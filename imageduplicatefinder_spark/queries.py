@@ -531,6 +531,10 @@ def _char_pairs_bitset(spark: SparkSession, g: DataFrame) -> DataFrame | None:
     vocab = np.sort(
         np.asarray([r[0] for r in vocab_rows.collect()], dtype="U")
     )
+    if vocab.dtype.itemsize == 0:
+        # corpus where every gram is "" (all-empty texts): numpy infers
+        # a zero-width U0 dtype whose comparisons are degenerate
+        vocab = vocab.astype("<U1")
     n_words = (n_vocab + 63) // 64
     sc = spark.sparkContext
     bcv = sc.broadcast(vocab)
@@ -602,8 +606,12 @@ def _char_pairs_bitset(spark: SparkSession, g: DataFrame) -> DataFrame | None:
                 )
 
     par = sc.defaultParallelism
+    import pandas as pd
+
+    # Arrow createDataFrame (a python tuple list costs seconds at the
+    # guard boundary's ~1M ids)
     drive = spark.createDataFrame(
-        [(int(x),) for x in ids], "doc_id long"
+        pd.DataFrame({"doc_id": ids})
     ).repartition(par * 2)
     return drive.mapInPandas(
         stripes, "doc_a long, doc_b long, jaccard_milli long"

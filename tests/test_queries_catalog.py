@@ -1050,3 +1050,37 @@ def test_char_ngram_bitset_and_prefix_paths_agree(spark, tmp_path):
     # the planted pair and the empty-text twins must be found
     found = {(a, b) for a, b, _ in fast}
     assert (1, 2) in found and (5, 6) in found
+
+
+def test_char_ngram_all_empty_texts(spark, tmp_path):
+    """All-empty corpus: every doc's single gram is "" (numpy would
+    infer a degenerate zero-width U dtype for the vocab) — every pair
+    is jaccard 1000 in both physical forms and the oracle."""
+    import duckdb
+
+    import imageduplicatefinder_spark.queries as Q
+
+    spark.createDataFrame(
+        [(i, "", "en", 0) for i in range(1, 5)],
+        "doc_id long, text string, lang string, n_chars long",
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    fast = sorted(
+        map(tuple,
+            Q.QUERIES["char_ngram_jaccard_pairs"](spark, str(tmp_path)).collect())
+    )
+    saved = Q._CHAR_BITSET_MAX_BITS
+    Q._CHAR_BITSET_MAX_BITS = 0
+    try:
+        slow = sorted(
+            map(tuple,
+                Q.QUERIES["char_ngram_jaccard_pairs"](spark, str(tmp_path)).collect())
+        )
+    finally:
+        Q._CHAR_BITSET_MAX_BITS = saved
+    con = duckdb.connect()
+    con.sql("CREATE VIEW documents AS SELECT * FROM "
+            f"'{tmp_path}/documents.parquet/*.parquet'")
+    oracle = sorted(map(tuple,
+                        con.sql(Q.ORACLES["char_ngram_jaccard_pairs"]).fetchall()))
+    assert fast == slow == oracle
+    assert len(fast) == 6 and all(j == 1000 for _, _, j in fast)
